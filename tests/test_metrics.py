@@ -1,0 +1,104 @@
+"""Golden tests for ndcg/dcg/mrr, carried over from the reference suite
+(reference: tests/losses/test_ndcg.py, tests/losses/test_mrr.py)."""
+
+import math
+
+import numpy as np
+from pytest import approx
+
+from allrank_tpu.constants import PADDED_Y_VALUE
+from allrank_tpu.metrics import dcg, mrr, ndcg
+
+
+def ndcg_wrap(y_pred, y_true, ats=None):
+    return np.asarray(ndcg(np.array([y_pred]), np.array([y_true]), ats=ats))
+
+
+def mrr_wrap(y_pred, y_true, ats=(10,)):
+    return np.asarray(mrr(np.array(y_pred), np.array(y_true), ats=ats))
+
+
+class TestNdcg:
+    def test_simple_1(self):
+        assert ndcg_wrap([0.5, 0.2], [1.0, 0.0]) == approx(1.0)
+
+    def test_simple_2(self):
+        assert ndcg_wrap([0.5, 0.2], [0.0, 1.0]) == approx(1 / math.log2(3))
+
+    def test_filler_when_no_relevant(self):
+        # IDCG == 0 slates score filler_value = 1.0 (XGBoost/LightGBM convention,
+        # reference metrics.py:23-24 + reproducibility/HOWTO.md:32). Note the
+        # reference's own test_ndcg_zero_when_no_relevant expects 0.0 and FAILS
+        # against its own code; we follow the code + documented convention.
+        assert ndcg_wrap([0.5, 0.2], [0.0, 0.0]) == approx(1.0)
+        assert ndcg_wrap([0.5, 0.2], [0.0, 0.0], ats=[5]) == approx(1.0)
+
+    def test_multiple_ats(self):
+        result = ndcg_wrap([0.5, 0.2, 0.1], [1.0, 0.0, 1.0], ats=[1, 2])
+        ndcg_one_on_top = 1.0 / (1.0 + 1 / math.log2(3))
+        assert result[0] == approx([1.0, ndcg_one_on_top])
+
+    def test_padded_input(self):
+        assert ndcg_wrap([0.5, 0.2, 1.0], [1.0, 0.0, PADDED_Y_VALUE]) == approx(1.0)
+
+    def test_padded_input_2(self):
+        assert ndcg_wrap([0.5, 0.2, 1.0], [0.0, 1.0, PADDED_Y_VALUE]) == approx(
+            1 / math.log2(3)
+        )
+
+    def test_padding_invariance(self):
+        a = ndcg_wrap([0.5, 0.2], [1.0, 2.0])
+        b = ndcg_wrap([0.5, 0.2, 0.9, 0.8], [1.0, 2.0, PADDED_Y_VALUE, PADDED_Y_VALUE])
+        assert a == approx(b)
+
+    def test_at_larger_than_slate_clamps(self):
+        a = ndcg_wrap([0.5, 0.2], [1.0, 2.0], ats=[100])
+        b = ndcg_wrap([0.5, 0.2], [1.0, 2.0], ats=[2])
+        assert a == approx(b)
+
+
+class TestDcg:
+    def test_simple(self):
+        res = np.asarray(dcg(np.array([[0.5, 0.2]]), np.array([[1.0, 0.0]])))
+        assert res[0][0] == approx(1.0)
+
+    def test_order_by_preds(self):
+        res = np.asarray(dcg(np.array([[0.2, 0.5]]), np.array([[1.0, 0.0]])))
+        assert res[0][0] == approx(1 / math.log2(3))
+
+
+class TestMrr:
+    def test_simple_1(self):
+        assert mrr_wrap([[0.5, 0.2]], [[1.0, 0.0]])[0][0] == 1.0
+
+    def test_simple_no_ats(self):
+        assert mrr_wrap([[0.5, 0.2]], [[1.0, 0.0]], ats=None)[0][0] == 1.0
+
+    def test_simple_2(self):
+        assert mrr_wrap([[0.5, 0.2]], [[0.0, 1.0]])[0][0] == 0.5
+
+    def test_multiple_slates(self):
+        res = mrr_wrap([[0.2, 0.5], [0.5, 0.2]], [[0.0, 1.0], [0.0, 1.0]])
+        assert res[0][0] == 1.0
+        assert res[1][0] == 0.5
+
+    def test_multiple_ats(self):
+        res = mrr_wrap([[0.5, 0.2]], [[0.0, 1.0]], ats=[1, 2])
+        assert res[0][0] == 0.0
+        assert res[0][1] == 0.5
+
+    def test_multiple_slates_multiple_ats(self):
+        res = mrr_wrap([[0.2, 0.5], [0.5, 0.2]], [[0.0, 1.0], [0.0, 1.0]], ats=[1, 2])
+        assert res[0][0] == 1.0
+        assert res[0][1] == 1.0
+        assert res[1][0] == 0.0
+        assert res[1][1] == 0.5
+
+    def test_zero_when_no_relevant(self):
+        assert mrr_wrap([[0.5, 0.2]], [[0.0, 0.0]])[0][0] == 0.0
+
+    def test_padded_input(self):
+        assert mrr_wrap([[0.5, 0.2, 1.0]], [[1.0, 0.0, PADDED_Y_VALUE]])[0][0] == 1.0
+
+    def test_padded_input_2(self):
+        assert mrr_wrap([[0.5, 0.2, 1.0]], [[0.0, 1.0, PADDED_Y_VALUE]])[0][0] == 0.5
