@@ -1,0 +1,170 @@
+"""LambdaLoss framework with pluggable weighing schemes
+(reference: allrank/models/losses/lambdaLoss.py:7-114).
+
+TPU-first notes:
+  * The reference's boolean-mask reduction (``losses[pairs_mask & k_mask]``)
+    is a dynamic-shape op; here the pair mask weights a dense [B, L, L]
+    tensor and "sum"/"mean" reduce over the selected count — identical values,
+    static shapes.
+  * Position-dependent tables (log2 discounts, ndcgLoss2 deltas) are
+    host-precomputed float64 constants for exactness.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from allrank_tpu.constants import DEFAULT_EPS, PADDED_Y_VALUE
+from allrank_tpu.losses.common import as_f32, padding_mask
+
+
+def _log2_positions(n: int) -> np.ndarray:
+    """D[i] = log2(2 + i) for positions i = 0..n-1 (host, exact)."""
+    return np.log2(np.arange(n, dtype=np.float64) + 2.0).astype(np.float32)
+
+
+def ndcgLoss1_scheme(G, D, mu, true_sorted):
+    return (G / D[None, :])[:, :, None]
+
+
+def _ndcgLoss2_deltas(n: int) -> np.ndarray:
+    """|1/D[|i-j|-1] - 1/D[|i-j|]| with zero diagonal, precomputed on host."""
+    D = np.log2(np.arange(n, dtype=np.float64) + 2.0)
+    pos = np.arange(1, n + 1)
+    delta_idx = np.abs(pos[:, None] - pos[None, :])
+    # diagonal (delta 0) maps to D[-1]; it is zeroed below, clamp idx to 0
+    idx_prev = np.clip(delta_idx - 1, 0, n - 1)
+    deltas = np.abs(1.0 / D[idx_prev] - 1.0 / D[delta_idx])
+    np.fill_diagonal(deltas, 0.0)
+    return deltas.astype(np.float32)
+
+
+def ndcgLoss2_scheme(G, D, mu, true_sorted):
+    deltas = jnp.asarray(_ndcgLoss2_deltas(G.shape[1]))
+    return deltas[None, :, :] * jnp.abs(G[:, :, None] - G[:, None, :])
+
+
+def lambdaRank_scheme(G, D, mu, true_sorted):
+    inv_d = 1.0 / D
+    return jnp.abs(inv_d[None, :, None] - inv_d[None, None, :]) * jnp.abs(
+        G[:, :, None] - G[:, None, :]
+    )
+
+
+def ndcgLoss2PP_scheme(G, D, mu, true_sorted):
+    return mu * ndcgLoss2_scheme(G, D, mu, true_sorted) + lambdaRank_scheme(
+        G, D, mu, true_sorted
+    )
+
+
+def rankNet_scheme(G, D, mu, true_sorted):
+    return 1.0
+
+
+def rankNetWeightedByGTDiff_scheme(G, D, mu, true_sorted):
+    return jnp.abs(true_sorted[:, :, None] - true_sorted[:, None, :])
+
+
+def rankNetWeightedByGTDiffPowed_scheme(G, D, mu, true_sorted):
+    return jnp.abs(true_sorted[:, :, None] ** 2 - true_sorted[:, None, :] ** 2)
+
+
+WEIGHING_SCHEMES = {
+    "ndcgLoss1_scheme": ndcgLoss1_scheme,
+    "ndcgLoss2_scheme": ndcgLoss2_scheme,
+    "lambdaRank_scheme": lambdaRank_scheme,
+    "ndcgLoss2PP_scheme": ndcgLoss2PP_scheme,
+    "rankNet_scheme": rankNet_scheme,
+    "rankNetWeightedByGTDiff_scheme": rankNetWeightedByGTDiff_scheme,
+    "rankNetWeightedByGTDiffPowed_scheme": rankNetWeightedByGTDiffPowed_scheme,
+}
+
+
+def lambdaLoss(
+    y_pred: jnp.ndarray,
+    y_true: jnp.ndarray,
+    eps: float = DEFAULT_EPS,
+    padded_value_indicator: int = PADDED_Y_VALUE,
+    weighing_scheme: Optional[str] = None,
+    k: Optional[int] = None,
+    sigma: float = 1.0,
+    mu: float = 10.0,
+    reduction: str = "sum",
+    reduction_log: str = "binary",
+    slate_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Unified LambdaLoss: weighted pairwise sigmoid probabilities over
+    prediction-sorted slates, truncated to the top-k x top-k pair block."""
+    if reduction_log not in ("natural", "binary"):
+        raise ValueError("Reduction logarithm base can be either natural or binary")
+    if reduction not in ("sum", "mean"):
+        raise ValueError("Reduction method can be either sum or mean")
+
+    y_pred, y_true = as_f32(y_pred, y_true)
+    mask = padding_mask(y_true, padded_value_indicator)
+    slate_length = y_true.shape[1]
+
+    neg_fill = -jnp.inf
+    y_pred_f = jnp.where(mask, neg_fill, y_pred)
+    y_true_f = jnp.where(mask, neg_fill, y_true)
+
+    order_pred = jnp.argsort(y_pred_f, axis=-1, descending=True, stable=True)
+    y_pred_sorted = jnp.take_along_axis(y_pred_f, order_pred, axis=-1)
+    y_true_sorted = jnp.sort(y_true_f, axis=-1, descending=True)
+    true_sorted_by_preds = jnp.take_along_axis(y_true_f, order_pred, axis=-1)
+
+    pred_valid = jnp.isfinite(true_sorted_by_preds)
+    pair_valid = pred_valid[:, :, None] & pred_valid[:, None, :]
+    true_diffs = jnp.where(
+        pair_valid,
+        true_sorted_by_preds[:, :, None] - true_sorted_by_preds[:, None, :],
+        0.0,
+    )
+    padded_pairs_mask = pair_valid
+    if weighing_scheme != "ndcgLoss1_scheme":
+        padded_pairs_mask = padded_pairs_mask & (true_diffs > 0)
+    if slate_mask is not None:
+        padded_pairs_mask = padded_pairs_mask & (
+            jnp.asarray(slate_mask, dtype=bool)[:, None, None]
+        )
+
+    k_eff = slate_length if k is None else min(int(k), slate_length)
+    within_k = np.zeros((slate_length, slate_length), dtype=bool)
+    within_k[:k_eff, :k_eff] = True
+    ndcg_at_k_mask = jnp.asarray(within_k)
+
+    true_sorted_by_preds = jnp.maximum(true_sorted_by_preds, 0.0)
+    y_true_sorted = jnp.maximum(y_true_sorted, 0.0)
+
+    D = jnp.asarray(_log2_positions(slate_length))
+    max_dcgs = jnp.maximum(
+        jnp.sum(((jnp.power(2.0, y_true_sorted) - 1.0) / D)[:, :k_eff], axis=-1), eps
+    )
+    G = (jnp.power(2.0, true_sorted_by_preds) - 1.0) / max_dcgs[:, None]
+
+    if weighing_scheme is None:
+        weights = 1.0
+    else:
+        weights = WEIGHING_SCHEMES[weighing_scheme](G, D, mu, true_sorted_by_preds)
+
+    scores_diffs = y_pred_sorted[:, :, None] - y_pred_sorted[:, None, :]
+    scores_diffs = jnp.where(pair_valid, scores_diffs, 0.0)
+    scores_diffs = jnp.clip(scores_diffs, -1e8, 1e8)
+
+    weighted_probas = jnp.maximum(
+        jnp.power(jnp.maximum(jax.nn.sigmoid(sigma * scores_diffs), eps), weights), eps
+    )
+    if reduction_log == "natural":
+        losses = jnp.log(weighted_probas)
+    else:
+        losses = jnp.log2(weighted_probas)
+
+    selected = (padded_pairs_mask & ndcg_at_k_mask[None, :, :]).astype(jnp.float32)
+    total = jnp.sum(losses * selected)
+    if reduction == "sum":
+        return -total
+    return -total / jnp.maximum(jnp.sum(selected), 1.0)

@@ -1,0 +1,135 @@
+"""Differentiable sorting primitives: NeuralSort relaxation + Sinkhorn scaling.
+
+Re-designs the reference's soft-sort utilities
+(reference: allrank/models/losses/loss_utils.py:8-112) as fully vectorized,
+jit-stable JAX:
+
+  * The reference builds the per-slate NeuralSort scaling vector with a Python
+    list comprehension over host-synced mask sums (loss_utils.py:54-57) —
+    a host/device sync per call. Here it is a closed-form ``where`` over an
+    iota: scaling[j] = valid_n + 1 - 2*(j+1) for j < valid_n else 0.
+  * Sinkhorn runs as a fixed-trip ``lax.scan`` whose updates freeze once the
+    tolerance is met — identical early-exit semantics to the reference's
+    data-dependent ``break`` (loss_utils.py:21-26), but compilable and
+    reverse-differentiable. Each iteration is rematerialized under
+    ``jax.checkpoint`` to keep backward memory at O(1) matrices per step.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from allrank_tpu.constants import DEFAULT_EPS
+
+
+def sinkhorn_scaling(
+    mat: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    tol: float = 1e-6,
+    max_iter: int = 50,
+) -> jnp.ndarray:
+    """Row/column renormalization to an (approximately) doubly stochastic matrix.
+
+    mat: [N, M, M]; mask: optional [N, M] padding mask (True = padded).
+    Matches reference semantics: padded rows/cols zeroed, fully-padded
+    diagonal-block entries set to 1 before scaling, and re-zeroed after.
+    """
+    if mask is not None:
+        either = mask[:, None, :] | mask[:, :, None]
+        both = mask[:, None, :] & mask[:, :, None]
+        mat = jnp.where(either, 0.0, mat)
+        mat = jnp.where(both, 1.0, mat)
+
+    def one_iteration(carry, _):
+        m, done = carry
+        m2 = m / jnp.maximum(jnp.sum(m, axis=1, keepdims=True), DEFAULT_EPS)
+        m2 = m2 / jnp.maximum(jnp.sum(m2, axis=2, keepdims=True), DEFAULT_EPS)
+        converged = jnp.logical_and(
+            jnp.max(jnp.abs(jnp.sum(m2, axis=2) - 1.0)) < tol,
+            jnp.max(jnp.abs(jnp.sum(m2, axis=1) - 1.0)) < tol,
+        )
+        new_m = jnp.where(done, m, m2)
+        return (new_m, jnp.logical_or(done, converged)), None
+
+    (mat, _), _ = jax.lax.scan(
+        jax.checkpoint(one_iteration),
+        (mat, jnp.asarray(False)),
+        None,
+        length=max_iter,
+    )
+
+    if mask is not None:
+        mat = jnp.where(mask[:, None, :] | mask[:, :, None], 0.0, mat)
+    return mat
+
+
+def deterministic_neural_sort(
+    s: jnp.ndarray, tau: float, mask: jnp.ndarray
+) -> jnp.ndarray:
+    """NeuralSort relaxation ("Stochastic Optimization of Sorting Networks via
+    Continuous Relaxations", ICLR 2019) with padding support.
+
+    s: [N, L] scores; mask: [N, L] True at padded positions.
+    Returns approximate permutation matrices [N, L, L] (row i ~ one-hot of the
+    i-th largest element).
+    """
+    n = s.shape[1]
+    s = jnp.where(mask, -1e8, s)
+
+    a_s = jnp.abs(s[:, :, None] - s[:, None, :])
+    pair_pad = mask[:, :, None] | mask[:, None, :]
+    a_s = jnp.where(pair_pad, 0.0, a_s)
+    row_sums = jnp.sum(a_s, axis=2)  # B_ij = sum_k A_s[i, k], j-independent
+
+    valid_n = (n - jnp.sum(mask, axis=1)).astype(jnp.float32)  # [N]
+    j = jnp.arange(1, n + 1, dtype=jnp.float32)  # 1-based rank position
+    scaling = jnp.where(
+        j[None, :] <= valid_n[:, None], valid_n[:, None] + 1.0 - 2.0 * j[None, :], 0.0
+    )  # [N, L]
+
+    s_zeroed = jnp.where(mask, 0.0, s)
+    # P_max[i, j] = scaling_i * s_j - rowsum_j  (the transpose of C - B)
+    p_max = scaling[:, :, None] * s_zeroed[:, None, :] - row_sums[:, None, :]
+
+    p_max = jnp.where(pair_pad, -jnp.inf, p_max)
+    both_pad = mask[:, :, None] & mask[:, None, :]
+    p_max = jnp.where(both_pad, 1.0, p_max)
+    return jax.nn.softmax(p_max / tau, axis=-1)
+
+
+def sample_gumbel(rng: jax.Array, shape, eps: float = 1e-10) -> jnp.ndarray:
+    """Gumbel(0, 1) samples via inverse CDF of uniform draws."""
+    u = jax.random.uniform(rng, shape, dtype=jnp.float32)
+    return -jnp.log(-jnp.log(u + eps) + eps)
+
+
+def stochastic_neural_sort(
+    s: jnp.ndarray,
+    n_samples: int,
+    tau: float,
+    mask: jnp.ndarray,
+    rng: jax.Array,
+    beta: float = 1.0,
+    log_scores: bool = True,
+    eps: float = 1e-10,
+) -> jnp.ndarray:
+    """Gumbel-perturbed NeuralSort. s: [N, L]; returns [n_samples, N, L, L].
+
+    Note: the reference flattens [S, N] sample-major but repeats its mask
+    batch-major (loss_utils.py:108 repeat_interleave), silently misaligning
+    masks for N > 1; here masks are tiled sample-major to match the data.
+    """
+    batch, n = s.shape
+    s_positive = s + jnp.abs(jnp.min(s))
+    if log_scores:
+        s_positive = jnp.log(s_positive + eps)
+
+    gumbel = beta * sample_gumbel(rng, (n_samples, batch, n))
+    s_perturb = (s_positive[None, :, :] + gumbel).reshape(n_samples * batch, n)
+    mask_tiled = jnp.tile(mask, (n_samples, 1))
+
+    p_hat = deterministic_neural_sort(s_perturb, tau, mask_tiled)
+    return p_hat.reshape(n_samples, batch, n, n)
