@@ -1,0 +1,66 @@
+"""Rank-indexed positional encodings (reference: allrank/models/positional.py:15-94).
+
+Both variants index by the documents' *original ranks* (the ``indices`` batch
+component), not their slate positions; padded documents map to a dedicated
+zero row. The fixed sin/cos table is host-precomputed in float64 and embedded
+as a compile-time constant.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from allrank_tpu.models.core import xavier_uniform
+
+
+def fixed_positional_table(d_model: int, max_len: int) -> np.ndarray:
+    """[max_len + 1, d_model] sin/cos table; the extra last row is the zero
+    padding row."""
+    pe = np.zeros((max_len, d_model), dtype=np.float64)
+    position = np.arange(max_len, dtype=np.float64)[:, None]
+    div_term = np.exp(
+        np.arange(0, d_model, 2, dtype=np.float64) * -(math.log(10000.0) / d_model)
+    )
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)[:, : pe[:, 1::2].shape[1]]
+    return np.vstack([pe, np.zeros((1, d_model))]).astype(np.float32)
+
+
+def _padded_indices(indices: jnp.ndarray, mask: jnp.ndarray, padding_idx: int):
+    idx = jnp.where(mask, padding_idx, indices)
+    return jnp.minimum(idx, padding_idx)
+
+
+def fixed_pe_init(d_model: int, max_len: int) -> dict:
+    return {"table": jnp.asarray(fixed_positional_table(d_model, max_len))}
+
+
+def fixed_pe_apply(params: dict, x, mask, indices):
+    table = params["table"]
+    padding_idx = table.shape[0] - 1
+    idx = _padded_indices(indices, mask, padding_idx)
+    d_model = table.shape[1]
+    return math.sqrt(d_model) * x + table[idx].astype(x.dtype)
+
+
+def learned_pe_init(key: jax.Array, d_model: int, max_len: int) -> dict:
+    """[max_len + 1, d_model] learned embedding; last row is the padding row.
+
+    Kept zero at init (the reference's blanket Xavier re-init leaves a frozen
+    random vector in the padding row — reference model.py:147-150 vs
+    positional.py:66; we zero it, which is the nn.Embedding(padding_idx=...)
+    intent)."""
+    table = xavier_uniform(key, (max_len + 1, d_model))
+    return {"table": table.at[-1].set(0.0)}
+
+
+def learned_pe_apply(params: dict, x, mask, indices):
+    table = params["table"]
+    padding_idx = table.shape[0] - 1
+    idx = _padded_indices(indices, mask, padding_idx)
+    d_model = table.shape[1]
+    return math.sqrt(d_model) * x + table[idx].astype(x.dtype)

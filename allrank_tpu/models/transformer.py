@@ -1,0 +1,143 @@
+"""Slate Transformer encoder (reference: allrank/models/transformer.py:18-247;
+paper: "Context-Aware Learning to Rank with Self-Attention", arXiv 2005.10084).
+
+Pre-norm residual blocks over the slate axis with padding-masked self
+attention. TPU-first choices:
+  * fused QKV projection (one [d, 3d] matmul feeding the MXU instead of three
+    [d, d] ones) + einsum attention — same math as the reference's 4-linear
+    layout, better MXU utilization;
+  * key masking via a large-negative fill (bf16-safe, no NaN rows for fully
+    padded slates) instead of -inf;
+  * the whole encoder is shape-static and jit-compiles to one XLA program.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from allrank_tpu.constants import NEG_INF_FILL
+from allrank_tpu.models.core import (
+    dense_apply,
+    dense_init,
+    dropout,
+    layer_norm_init,
+    std_layer_norm_apply,
+    xavier_uniform,
+)
+from allrank_tpu.models.positional import (
+    fixed_pe_apply,
+    fixed_pe_init,
+    learned_pe_apply,
+    learned_pe_init,
+)
+
+
+@dataclass(frozen=True)
+class TransformerDef:
+    N: int
+    d_model: int
+    d_ff: int
+    h: int
+    dropout: float
+    positional_encoding: Optional[str] = None  # None | "fixed" | "learned"
+    max_indices: int = 5000
+
+    def __post_init__(self):
+        if self.d_model % self.h != 0:
+            raise ValueError(
+                f"d_model ({self.d_model}) must be divisible by h ({self.h})"
+            )
+
+
+def _layer_init(key: jax.Array, tdef: TransformerDef) -> dict:
+    k_qkv, k_out, k_ff1, k_ff2 = jax.random.split(key, 4)
+    d = tdef.d_model
+    return {
+        "qkv": {
+            # three Xavier [d, d] blocks fused on the output axis, so fan
+            # statistics match the reference's separate projections
+            "w": jnp.concatenate(
+                [xavier_uniform(k, (d, d)) for k in jax.random.split(k_qkv, 3)], axis=1
+            ),
+            "b": jnp.zeros((3 * d,)),
+        },
+        "out": dense_init(k_out, d, d),
+        "ff1": dense_init(k_ff1, d, tdef.d_ff),
+        "ff2": dense_init(k_ff2, tdef.d_ff, d),
+        "ln1": layer_norm_init(d),
+        "ln2": layer_norm_init(d),
+    }
+
+
+def transformer_init(key: jax.Array, tdef: TransformerDef) -> dict:
+    keys = jax.random.split(key, tdef.N + 2)
+    params = {
+        "layers": [_layer_init(keys[i], tdef) for i in range(tdef.N)],
+        "final_ln": layer_norm_init(tdef.d_model),
+    }
+    if tdef.positional_encoding == "fixed":
+        params["pe"] = fixed_pe_init(tdef.d_model, tdef.max_indices)
+    elif tdef.positional_encoding == "learned":
+        params["pe"] = learned_pe_init(keys[-1], tdef.d_model, tdef.max_indices)
+    return params
+
+
+def _attention(lp: dict, tdef: TransformerDef, x, key_mask, train, rng):
+    b, l, d = x.shape
+    h, d_k = tdef.h, tdef.d_model // tdef.h
+
+    qkv = dense_apply(lp["qkv"], x)  # [B, L, 3d]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(b, l, h, d_k)
+    k = k.reshape(b, l, h, d_k)
+    v = v.reshape(b, l, h, d_k)
+
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(d_k)
+    scores = jnp.where(key_mask[:, None, None, :], NEG_INF_FILL, scores)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if train and tdef.dropout > 0.0:
+        probs = dropout(rng, probs, tdef.dropout, train)
+
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, l, d)
+    return dense_apply(lp["out"], ctx)
+
+
+def transformer_apply(
+    params: dict,
+    tdef: TransformerDef,
+    x: jnp.ndarray,
+    mask: jnp.ndarray,
+    indices: jnp.ndarray,
+    train: bool = False,
+    rng: Optional[jax.Array] = None,
+) -> jnp.ndarray:
+    """x: [B, L, d_model]; mask: [B, L] True at padded docs; indices: [B, L]."""
+    if tdef.positional_encoding == "fixed":
+        x = fixed_pe_apply(params["pe"], x, mask, indices)
+    elif tdef.positional_encoding == "learned":
+        x = learned_pe_apply(params["pe"], x, mask, indices)
+
+    n_rngs = 4 * tdef.N
+    rngs = (
+        list(jax.random.split(rng, n_rngs))
+        if (rng is not None and train and tdef.dropout > 0.0)
+        else [None] * n_rngs
+    )
+
+    for i, lp in enumerate(params["layers"]):
+        r_attn, r_sub1, r_ff, r_sub2 = rngs[4 * i : 4 * i + 4]
+        # pre-norm residual: x + drop(attn(ln(x))), then x + drop(ffn(ln(x)))
+        normed = std_layer_norm_apply(lp["ln1"], x)
+        attn_out = _attention(lp, tdef, normed, mask, train, r_attn)
+        x = x + dropout(r_sub1, attn_out, tdef.dropout, train)
+
+        normed = std_layer_norm_apply(lp["ln2"], x)
+        hidden = dropout(r_ff, jax.nn.relu(dense_apply(lp["ff1"], normed)), tdef.dropout, train)
+        x = x + dropout(r_sub2, dense_apply(lp["ff2"], hidden), tdef.dropout, train)
+
+    return std_layer_norm_apply(params["final_ln"], x)
