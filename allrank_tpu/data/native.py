@@ -1,0 +1,88 @@
+"""ctypes bridge to the native C++ svmlight parser (native/libsvm_parser.cpp).
+
+The parser is the data path's hot spot on multi-GB MSLR-style files; the C++
+implementation is ~an order of magnitude faster than the pure-python reader.
+Falls back to None (callers use sklearn) when the shared library has not been
+built. Build with: ``python setup.py build_native`` or ``make native``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB = None
+_LIB_TRIED = False
+
+
+def _find_library() -> Optional[str]:
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    candidates = [
+        os.path.join(here, "native", "libsvm_parser.so"),
+        os.path.join(os.path.dirname(here), "native", "libsvm_parser.so"),
+    ]
+    for c in candidates:
+        if os.path.exists(c):
+            return c
+    return None
+
+
+def _load():
+    global _LIB, _LIB_TRIED
+    if _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    path = _find_library()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.parse_svmlight_count.restype = ctypes.c_int64
+        lib.parse_svmlight_count.argtypes = [
+            ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),  # n_rows
+            ctypes.POINTER(ctypes.c_int64),  # n_features
+        ]
+        lib.parse_svmlight_fill.restype = ctypes.c_int64
+        lib.parse_svmlight_fill.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int64,  # n_rows
+            ctypes.c_int64,  # n_features
+            np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS"),
+        ]
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def parse_svmlight_native(
+    path: str,
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Parse with the C++ extension; None if unavailable (caller falls back)."""
+    lib = _load()
+    if lib is None or not os.path.exists(path):
+        return None
+
+    n_rows = ctypes.c_int64()
+    n_features = ctypes.c_int64()
+    rc = lib.parse_svmlight_count(
+        path.encode(), ctypes.byref(n_rows), ctypes.byref(n_features)
+    )
+    if rc != 0:
+        return None
+
+    X = np.zeros((n_rows.value, n_features.value), dtype=np.float32)
+    y = np.zeros((n_rows.value,), dtype=np.float32)
+    qids = np.zeros((n_rows.value,), dtype=np.int64)
+    rc = lib.parse_svmlight_fill(
+        path.encode(), n_rows.value, n_features.value, X, y, qids
+    )
+    if rc != 0:
+        return None
+    return X, y, qids

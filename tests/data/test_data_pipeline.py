@@ -1,0 +1,143 @@
+"""Data pipeline tests: svm parsing, qid grouping, slate fixing, batching,
+round-trip saving."""
+
+import numpy as np
+import pytest
+
+from allrank_tpu.constants import PADDED_INDEX_VALUE, PADDED_Y_VALUE
+from allrank_tpu.data import (
+    SlateBatcher,
+    SlateDataset,
+    generate_dummy_data,
+    load_dataset_role,
+    write_dummy_dataset,
+    write_to_libsvm_without_masked,
+)
+from allrank_tpu.data.slate_fixing import fix_slate, pad_slate, sample_slate
+
+
+@pytest.fixture(scope="module")
+def dummy_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dummy")
+    return write_dummy_dataset(str(d), num_queries=10, results_len=7,
+                               num_labels=3, num_features=5)
+
+
+class TestDataset:
+    def test_groups_by_qid_first_appearance(self):
+        X = np.arange(12, dtype=np.float32).reshape(6, 2)
+        y = np.arange(6, dtype=np.float32)
+        qids = np.array([7, 7, 3, 3, 3, 9])
+        ds = SlateDataset(X, y, qids)
+        assert len(ds) == 3
+        np.testing.assert_array_equal(ds.y_by_qid[0], [0, 1])
+        np.testing.assert_array_equal(ds.y_by_qid[1], [2, 3, 4])
+        np.testing.assert_array_equal(ds.y_by_qid[2], [5])
+        assert ds.longest_query_length == 3
+        assert ds.shape == [3, 3, 2]
+
+    def test_load_from_file(self, dummy_dir):
+        ds, eff = load_dataset_role("train", dummy_dir, slate_length=4)
+        assert len(ds) == 10
+        assert ds.n_features == 5
+        assert eff == 4
+
+    def test_val_role_pads_to_longest(self, dummy_dir):
+        ds, eff = load_dataset_role("vali", dummy_dir, slate_length=4)
+        assert eff == ds.longest_query_length == 7
+
+
+class TestSlateFixing:
+    def test_pad_short_slate(self):
+        x = np.ones((2, 3), dtype=np.float32)
+        y = np.array([1.0, 2.0], dtype=np.float32)
+        fx, fy, fi = pad_slate(x, y, 4)
+        assert fx.shape == (4, 3)
+        np.testing.assert_array_equal(fy, [1, 2, PADDED_Y_VALUE, PADDED_Y_VALUE])
+        np.testing.assert_array_equal(fi, [0, 1, PADDED_INDEX_VALUE, PADDED_INDEX_VALUE])
+        np.testing.assert_array_equal(fx[2:], 0.0)
+
+    def test_sample_long_slate_keeps_relevant(self):
+        rng = np.random.RandomState(0)
+        x = np.arange(20, dtype=np.float32).reshape(10, 2)
+        y = np.zeros(10, dtype=np.float32)
+        y[7] = 1.0  # single relevant doc
+        for _ in range(20):
+            fx, fy, fi = sample_slate(x, y, 3, rng)
+            assert fy.sum() >= 1.0  # the guard must always retain the relevant doc
+            assert fx.shape == (3, 2)
+
+    def test_sample_all_zero_ok(self):
+        rng = np.random.RandomState(0)
+        x = np.zeros((5, 2), dtype=np.float32)
+        y = np.zeros(5, dtype=np.float32)
+        fx, fy, fi = fix_slate(x, y, 3, rng)
+        assert fy.sum() == 0.0
+
+    def test_sample_indices_are_original_positions(self):
+        rng = np.random.RandomState(1)
+        x = np.arange(10, dtype=np.float32).reshape(5, 2)
+        y = np.arange(5, dtype=np.float32)
+        fx, fy, fi = sample_slate(x, y, 3, rng)
+        np.testing.assert_array_equal(y[fi], fy)
+        np.testing.assert_array_equal(x[fi], fx)
+
+
+class TestBatcher:
+    def test_fixed_shapes_with_partial_batch(self, dummy_dir):
+        ds, _ = load_dataset_role("train", dummy_dir, slate_length=4)
+        batcher = SlateBatcher(ds, slate_length=4, batch_size=4, shuffle=False)
+        batches = list(batcher)
+        assert len(batches) == 3  # 10 slates / 4
+        for b in batches:
+            assert b.x.shape == (4, 4, 5)
+            assert b.y.shape == (4, 4)
+            assert b.indices.shape == (4, 4)
+        assert batches[-1].slate_mask.sum() == 2  # 10 = 4+4+2
+        # dummy slates are fully padded
+        assert (batches[-1].y[2:] == PADDED_Y_VALUE).all()
+
+    def test_shuffle_changes_with_epoch_and_is_seeded(self, dummy_dir):
+        ds, _ = load_dataset_role("train", dummy_dir, slate_length=7)
+        b1 = SlateBatcher(ds, 7, 4, shuffle=True, seed=1)
+        b2 = SlateBatcher(ds, 7, 4, shuffle=True, seed=1)
+        e0_a = next(iter(b1)).y
+        e0_b = next(iter(b2)).y
+        np.testing.assert_array_equal(e0_a, e0_b)
+        b1.set_epoch(1)
+        e1 = next(iter(b1)).y
+        assert not np.array_equal(e0_a, e1)
+
+    def test_process_sharding_partitions_slates(self, dummy_dir):
+        ds, _ = load_dataset_role("train", dummy_dir, slate_length=7)
+        seen = []
+        for pi in range(2):
+            batcher = SlateBatcher(ds, 7, 4, shuffle=False,
+                                   process_index=pi, process_count=2)
+            for b in batcher:
+                seen.extend(b.y[b.slate_mask].tolist())
+        assert len(seen) == len(ds)
+
+
+class TestSaving:
+    def test_round_trip_strips_padding(self, tmp_path):
+        X = [np.array([[1.0, 0.0], [0.0, 2.0], [0.0, 0.0]]),
+             np.array([[3.0, 1.0], [0.0, 0.0], [0.0, 0.0]])]
+        y = [np.array([1.0, 0.0, PADDED_Y_VALUE]),
+             np.array([2.0, PADDED_Y_VALUE, PADDED_Y_VALUE])]
+        path = str(tmp_path / "out.txt")
+        write_to_libsvm_without_masked(path, X, y)
+        ds = SlateDataset.from_svm_file(path)
+        assert len(ds) == 2
+        np.testing.assert_array_equal(ds.y_by_qid[0], [1.0, 0.0])
+        np.testing.assert_array_equal(ds.y_by_qid[1], [2.0])
+
+
+class TestDummyData:
+    def test_label_formula(self):
+        rng = np.random.RandomState(42)
+        X, y, qid = generate_dummy_data(5, 4, 3, 6, rng)
+        assert X.shape == (20, 6)
+        expected = np.maximum(0, (((X + 1) / 2).mean(axis=-1) * 3).astype(np.int32))
+        np.testing.assert_array_equal(y, expected)
+        assert (np.bincount(qid) == 4).all()
