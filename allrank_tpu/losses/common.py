@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 from allrank_tpu.constants import PADDED_Y_VALUE
@@ -35,9 +36,20 @@ def masked_mean_over_slates(per_slate: jnp.ndarray, slate_weights: jnp.ndarray):
     return jnp.sum(per_slate * slate_weights) / denom
 
 
-def clamped_log(p: jnp.ndarray, min_log: float = -100.0) -> jnp.ndarray:
-    """log with output clamped to >= min_log (torch BCELoss convention)."""
-    return jnp.maximum(jnp.log(jnp.maximum(p, 0.0)), min_log)
+@jax.custom_jvp
+def clamped_log(p: jnp.ndarray) -> jnp.ndarray:
+    """log with output clamped to >= -100 (torch BCELoss convention) and a
+    bounded backward pass: d/dp = 1/max(p, 1e-12), matching torch's BCE
+    gradient eps — a plain max-of-log would yield 0*inf = NaN gradients once
+    a sigmoid head saturates to exactly 0 or 1 in fp32."""
+    return jnp.maximum(jnp.log(jnp.maximum(p, 0.0)), -100.0)
+
+
+@clamped_log.defjvp
+def _clamped_log_jvp(primals, tangents):
+    (p,) = primals
+    (t,) = tangents
+    return clamped_log(p), t / jnp.maximum(p, 1e-12)
 
 
 def bce_elementwise(p: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,160 @@
+"""Train CLI (reference: allrank/main.py:24-110).
+
+Usage::
+
+    python -m allrank_tpu.main --config-file-name config.json \
+        --run-id my_run --job-dir /tmp/output
+
+Pipeline: parse args -> load JSON config -> load libsvm train/val slates ->
+build model + optimizer + loss + scheduler by name -> ``fit`` (jitted SPMD
+steps over the device mesh) -> dump experiment_result.json -> optional GCS
+sync -> hard-assert expected_metrics (the built-in regression gate).
+"""
+
+from __future__ import annotations
+
+import os
+from argparse import ArgumentParser, Namespace
+from pprint import pformat
+
+import jax
+import numpy as np
+
+from allrank_tpu.config import Config
+from allrank_tpu.data.batching import SlateBatcher
+from allrank_tpu.data.dataset import load_dataset
+from allrank_tpu.losses import get_loss
+from allrank_tpu.models.factory import init_params, make_model, num_params
+from allrank_tpu.parallel import (
+    batch_shardings,
+    distributed_init,
+    make_mesh,
+    param_shardings,
+)
+from allrank_tpu.training import fit, make_optimizer, make_scheduler
+from allrank_tpu.utils.experiments import (
+    assert_expected_metrics,
+    dump_experiment_result,
+)
+from allrank_tpu.utils.file_utils import (
+    PathsContainer,
+    copy_local_to_gs,
+    create_output_dirs,
+    is_gs_path,
+)
+from allrank_tpu.utils.ltr_logging import get_logger, init_logger
+from allrank_tpu.utils.tensorboard_utils import TensorboardSummaryWriter
+
+
+def parse_args() -> Namespace:
+    parser = ArgumentParser("allRank-tpu")
+    parser.add_argument(
+        "--job-dir", help="Base output path for all experiments", required=True
+    )
+    parser.add_argument(
+        "--run-id", help="Name of this run (subdirectory of job-dir)", required=True
+    )
+    parser.add_argument(
+        "--config-file-name", required=True, help="Path to the experiment JSON config"
+    )
+    return parser.parse_args()
+
+
+def run(args: Namespace = None) -> dict:
+    args = args or parse_args()
+    np.random.seed(42)
+    distributed_init()
+
+    paths = PathsContainer.from_args(args.job_dir, args.run_id, args.config_file_name)
+    create_output_dirs(paths.output_dir)
+    logger = init_logger(paths.output_dir)
+    logger.info("created paths container %s", paths)
+
+    config = Config.from_json(paths.config_path)
+    logger.info("Config: %s", pformat(config))
+    import shutil
+
+    shutil.copy2(
+        paths.config_path, os.path.join(paths.output_dir, "used_config.json")
+    )
+
+    if config.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
+
+    train_ds, train_len, val_ds, val_len = load_dataset(
+        config.data.path, config.data.slate_length, config.data.validation_ds_role
+    )
+    n_features = train_ds.n_features
+    assert n_features == val_ds.n_features, "train/val feature size mismatch!"
+
+    mesh = make_mesh(config.parallel)
+    logger.info(
+        "Device mesh: %s over %d devices", dict(mesh.shape), mesh.size
+    )
+    n_data_shards = mesh.shape["data"]
+    # DataParallel convention of the reference (dataset_loading.py:239-242):
+    # global batch = n_parallel_units * config batch size.
+    global_batch = config.data.batch_size * n_data_shards
+
+    process_index, process_count = jax.process_index(), jax.process_count()
+    train_batcher = SlateBatcher(
+        train_ds, train_len, global_batch, shuffle=True,
+        seed=config.data.shuffle_seed,
+        process_index=process_index, process_count=process_count,
+    )
+    val_batcher = SlateBatcher(
+        val_ds, val_len, global_batch, shuffle=False,
+        seed=config.data.shuffle_seed,
+        process_index=process_index, process_count=process_count,
+    )
+
+    mdef = make_model(config.model, n_features)
+    params = init_params(jax.random.PRNGKey(42), mdef)
+    params = jax.device_put(params, param_shardings(params, mesh))
+    logger.info("Model definition: %s (%d params)", mdef, num_params(params))
+
+    optimizer = make_optimizer(config.optimizer.name, config.optimizer.args)
+    base_lr = float(config.optimizer.args.get("lr", 1e-3))
+    scheduler = make_scheduler(
+        config.lr_scheduler.name, config.lr_scheduler.args, base_lr
+    )
+    loss_fn, needs_rng = get_loss(config.loss.name)
+
+    with mesh:
+        result = fit(
+            epochs=config.training.epochs,
+            params=params,
+            mdef=mdef,
+            loss_fn=loss_fn,
+            loss_kwargs=config.loss.args,
+            needs_rng=needs_rng,
+            optimizer=optimizer,
+            scheduler=scheduler,
+            train_batcher=train_batcher,
+            val_batcher=val_batcher,
+            metrics=config.metrics,
+            val_metric=config.val_metric,
+            early_stopping_patience=config.training.early_stopping_patience,
+            gradient_clipping_norm=config.training.gradient_clipping_norm,
+            output_dir=paths.output_dir,
+            tensorboard_summary_writer=TensorboardSummaryWriter(
+                paths.tensorboard_output_path
+            ),
+            batch_shardings=batch_shardings(mesh),
+            compute_dtype=config.training.compute_dtype,
+        )
+
+    result_for_dump = {k: v for k, v in result.items() if k != "params"}
+    dump_experiment_result(
+        args.run_id, config.to_dict(), paths.output_dir, result_for_dump
+    )
+
+    if is_gs_path(args.job_dir):
+        copy_local_to_gs(paths.local_base_output_path, args.job_dir)
+
+    assert_expected_metrics(result_for_dump, config.expected_metrics)
+    return result
+
+
+if __name__ == "__main__":
+    run()

@@ -83,7 +83,11 @@ def std_layer_norm_apply(params: dict, x: jnp.ndarray, eps: float = 1e-6) -> jnp
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     n = x.shape[-1]
     var = jnp.sum((x32 - mean) ** 2, axis=-1, keepdims=True) / max(n - 1, 1)
-    out = (x32 - mean) / (jnp.sqrt(var) + eps)
+    # grad-safe sqrt: padded docs (and batch-padding dummy slates) have
+    # all-zero rows -> var == 0, where d/dvar sqrt(var) = inf would poison the
+    # whole batch's gradients via the mask-weighted loss (NaN * 0 = NaN). The
+    # floor is ~1e-12 in std units — invisible next to the 1e-6 eps.
+    out = (x32 - mean) / (jnp.sqrt(jnp.maximum(var, 1e-24)) + eps)
     out = params["scale"] * out + params["bias"]
     return out.astype(x.dtype)
 
