@@ -1,0 +1,108 @@
+"""Rank slates with a trained model, fully on-device
+(reference: allrank/inference/inference_utils.py:14-82).
+
+The scoring + sort + gather for a whole batch of slates is ONE jitted XLA
+program (model forward, -inf masking of padded docs, descending sort of
+scores, gather of features and labels into ranked order); the host only
+streams fixed-shape batches in and trims batch-padding dummy slates out.
+As in the reference, the positional encoding sees ``indices == 1`` at
+inference time — true ranks are unknown at serve time
+(reference: inference_utils.py:48-50)."""
+
+from __future__ import annotations
+
+from typing import Dict, Generator, Iterable, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from allrank_tpu.constants import PADDED_Y_VALUE
+from allrank_tpu.data.batching import SlateBatcher
+from allrank_tpu.models.factory import LTRModelDef, score
+
+
+def make_rank_step(mdef: LTRModelDef):
+    """Jitted (params, x, y) -> (X ranked, y ranked) for one padded batch."""
+
+    def step(params, x, y):
+        mask = y == PADDED_Y_VALUE
+        indices = jnp.ones_like(y, dtype=jnp.int32)
+        scores = score(params, mdef, x, mask, indices, train=False)
+        scores = jnp.where(mask, -jnp.inf, scores)
+        order = jnp.argsort(scores, axis=-1, descending=True, stable=True)
+        x_ranked = jnp.take_along_axis(x, order[..., None], axis=1)
+        y_ranked = jnp.take_along_axis(y, order, axis=1)
+        return x_ranked, y_ranked
+
+    return jax.jit(step)
+
+
+def rank_slates_dataset(
+    dataset, slate_length: int, params, mdef: LTRModelDef, batch_size: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Rank every slate of a dataset; returns (X [N, L, F], y [N, L]) in
+    descending score order (padded docs last)."""
+    batcher = SlateBatcher(dataset, slate_length, batch_size, shuffle=False)
+    rank_step = make_rank_step(mdef)
+    xs, ys = [], []
+    for batch in batcher:
+        x_ranked, y_ranked = rank_step(params, batch.x, batch.y)
+        real = batch.slate_mask
+        xs.append(np.asarray(x_ranked)[real])
+        ys.append(np.asarray(y_ranked)[real])
+    return np.concatenate(xs), np.concatenate(ys)
+
+
+def rank_slates(
+    datasets: Dict[str, Tuple[object, int]], params, mdef: LTRModelDef,
+    batch_size: int,
+) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
+    """Rank each role's dataset. ``datasets`` maps role ->
+    (dataset, effective_slate_length) as produced by ``load_dataset_role``."""
+    return {
+        role: rank_slates_dataset(ds, slate_len, params, mdef, batch_size)
+        for role, (ds, slate_len) in datasets.items()
+    }
+
+
+def _host_dcg(labels_in_order: np.ndarray) -> float:
+    """Host-side DCG of labels already in presentation order (padded docs
+    have label PADDED_Y_VALUE -> gain 0, matching metrics.dcg semantics)."""
+    labels = np.where(labels_in_order == PADDED_Y_VALUE, 0.0,
+                      labels_in_order).astype(np.float64)
+    gains = np.power(2.0, labels) - 1.0
+    discounts = 1.0 / np.log2(np.arange(len(labels)) + 2.0)
+    return float(np.sum(gains * discounts))
+
+
+def _clicked_dcg(ordered_clicks: np.ndarray) -> float:
+    """DCG of the clicked ordering: the presented order is the 'prediction',
+    clicks are the labels (reference: inference_utils.py:63-71)."""
+    return _host_dcg(np.asarray(ordered_clicks))
+
+
+def _clicked_ndcg(ordered_clicks: np.ndarray) -> float:
+    """NDCG of the clicked ordering, IDCG==0 -> 1.0 filler."""
+    clicks = np.asarray(ordered_clicks)
+    ideal = np.sort(np.where(clicks == PADDED_Y_VALUE, 0, clicks))[::-1]
+    idcg = _host_dcg(ideal)
+    if idcg == 0.0:
+        return 1.0
+    return _host_dcg(clicks) / idcg
+
+
+def metrics_on_clicked_slates(
+    clicked_slates: Tuple[Iterable[np.ndarray], Iterable[np.ndarray]],
+) -> Generator[Dict[str, float], None, None]:
+    """Per-slate stats of the click-through data
+    (reference: inference_utils.py:73-82)."""
+    Xs, ys = clicked_slates
+    for _, y in zip(Xs, ys):
+        y = np.asarray(y)
+        yield {
+            "slate_length": len(y),
+            "no_of_clicks": int(np.sum(y > 0)),
+            "dcg": _clicked_dcg(y),
+            "ndcg": _clicked_ndcg(y),
+        }

@@ -10,7 +10,12 @@ from allrank_tpu.config import NameArgsConfig
 
 
 def instantiate_class(full_name: str, **kwargs):
-    """Import `pkg.mod.Class` by dotted path and construct it with kwargs."""
+    """Import `pkg.mod.Class` by dotted path and construct it with kwargs.
+
+    Class paths rooted at the reference package (``allrank.``) are remapped to
+    ``allrank_tpu.`` so existing click-model configs carry over unchanged."""
+    if full_name.startswith("allrank."):
+        full_name = "allrank_tpu." + full_name[len("allrank."):]
     module_name, class_name = full_name.rsplit(".", 1)
     module = importlib.import_module(module_name)
     return getattr(module, class_name)(**kwargs)
