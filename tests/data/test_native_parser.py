@@ -1,0 +1,88 @@
+"""Native C++ svmlight parser: exact parity with the sklearn reader.
+
+Skipped when the shared library hasn't been built (``make native``).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from allrank_tpu.data.dataset import _parse_svmlight_sklearn
+from allrank_tpu.data.native import parse_svmlight_native
+
+
+needs_native = pytest.mark.skipif(
+    parse_svmlight_native(__file__) is None
+    and not os.path.exists(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "allrank_tpu", "native",
+            "libsvm_parser.so")
+    ),
+    reason="native parser not built (make native)",
+)
+
+
+def _write_and_compare(tmp_path, content: str):
+    path = str(tmp_path / "data.txt")
+    with open(path, "w") as f:
+        f.write(content)
+    native = parse_svmlight_native(path)
+    assert native is not None, "native parser failed"
+    with open(path, "rb") as f:
+        X_ref, y_ref, q_ref = _parse_svmlight_sklearn(f)
+    X, y, q = native
+    np.testing.assert_array_equal(y, y_ref)
+    np.testing.assert_array_equal(q, q_ref)
+    np.testing.assert_allclose(X, X_ref, rtol=1e-6, atol=1e-7)
+
+
+@needs_native
+def test_native_matches_sklearn_one_based(tmp_path):
+    _write_and_compare(
+        tmp_path,
+        "2 qid:1 1:0.5 3:-1.25 5:3e-2\n"
+        "0 qid:1 2:1.0 5:0.125\n"
+        "1 qid:2 1:-0.5 4:2.5\n",
+    )
+
+
+@needs_native
+def test_native_matches_sklearn_zero_based(tmp_path):
+    _write_and_compare(
+        tmp_path,
+        "1 qid:7 0:1.5 2:-0.5\n"
+        "3 qid:8 1:2.0 3:0.25\n",
+    )
+
+
+@needs_native
+def test_native_handles_comments_and_blank_lines(tmp_path):
+    _write_and_compare(
+        tmp_path,
+        "2 qid:1 1:0.5 2:1.0 # a comment\n"
+        "\n"
+        "0 qid:2 1:-1.0 2:0.0\n",
+    )
+
+
+@needs_native
+def test_native_matches_sklearn_on_generated_dataset(tmp_path):
+    from allrank_tpu.data.dummy import write_dummy_dataset
+
+    d = write_dummy_dataset(str(tmp_path), num_queries=30, results_len=8,
+                            num_features=12)
+    path = os.path.join(d, "train.txt")
+    native = parse_svmlight_native(path)
+    assert native is not None
+    with open(path, "rb") as f:
+        X_ref, y_ref, q_ref = _parse_svmlight_sklearn(f)
+    X, y, q = native
+    np.testing.assert_array_equal(y, y_ref)
+    np.testing.assert_array_equal(q, q_ref)
+    np.testing.assert_allclose(X, X_ref, rtol=1e-6, atol=1e-7)
+
+
+@needs_native
+def test_native_missing_file_returns_none():
+    assert parse_svmlight_native("/no/such/file.txt") is None
