@@ -74,6 +74,9 @@ class TrainingConfig:
     gradient_clipping_norm: Optional[float]
     early_stopping_patience: int = 0
     compute_dtype: str = "float32"
+    checkpoint_every: Optional[int] = None  # mid-training checkpoint cadence
+    resume: bool = False  # resume from <output_dir>/partial if present
+    profiler_trace_dir: Optional[str] = None  # jax.profiler trace of epoch 1
 
 
 @dataclass

@@ -142,6 +142,9 @@ def run(args: Namespace = None) -> dict:
             ),
             batch_shardings=batch_shardings(mesh),
             compute_dtype=config.training.compute_dtype,
+            checkpoint_every=config.training.checkpoint_every,
+            resume=config.training.resume,
+            profiler_trace_dir=config.training.profiler_trace_dir,
         )
 
     result_for_dump = {k: v for k, v in result.items() if k != "params"}

@@ -196,12 +196,22 @@ def fit(
     compute_dtype: str = "float32",
     seed: int = 42,
     checkpoint_name: str = "model.npz",
+    checkpoint_every: Optional[int] = None,
+    resume: bool = False,
+    profiler_trace_dir: Optional[str] = None,
 ) -> Dict[str, Any]:
     """The epoch loop (reference: allrank/training/train_utils.py:78-147).
 
     Host-side responsibilities only: epoch iteration, LR scheduling (incl.
     plateau-on-val-metric), early stopping, logging/tensorboard, final
     checkpoint. All math is inside the two jitted steps.
+
+    Beyond the reference (which only saves a final state_dict):
+      * ``checkpoint_every=N`` writes params+optimizer state+loop state under
+        ``<output_dir>/partial/`` every N epochs; ``resume=True`` restores
+        them and continues from the next epoch.
+      * ``profiler_trace_dir`` captures a ``jax.profiler`` device trace of
+        epoch 1 (skipping epoch 0's compilation) for xprof/tensorboard.
     """
     rng = jax.random.PRNGKey(seed)
     rng, step_rng = jax.random.split(rng)
@@ -226,9 +236,61 @@ def fit(
     def prefetch(batcher):
         return DevicePrefetcher(batcher, shardings=batch_shardings)
 
-    num_epochs_run = 0
-    for epoch in range(epochs):
+    import os
+
+    partial_dir = os.path.join(output_dir, "partial") if output_dir else None
+    start_epoch = 0
+    if resume and partial_dir and os.path.exists(
+        os.path.join(partial_dir, "loop_state.json")
+    ):
+        import json
+
+        from allrank_tpu.training.checkpoint import load_params as _load
+
+        params = _load(params, os.path.join(partial_dir, "params.npz"))
+        opt_state = _load(opt_state, os.path.join(partial_dir, "opt_state.npz"))
+        with open(os.path.join(partial_dir, "loop_state.json")) as f:
+            loop_state = json.load(f)
+        start_epoch = loop_state["epoch"] + 1
+        if scheduler is not None:
+            scheduler.__dict__.update(loop_state["scheduler"])
+        early_stop.__dict__.update(loop_state["early_stop"])
+        logger.info("resumed from %s at epoch %d", partial_dir, start_epoch)
+
+    def save_partial(epoch: int) -> None:
+        import json
+
+        from allrank_tpu.training.checkpoint import save_opt_state, save_params as _save
+
+        os.makedirs(partial_dir, exist_ok=True)
+        _save(params, os.path.join(partial_dir, "params.npz"))
+        save_opt_state(opt_state, os.path.join(partial_dir, "opt_state.npz"))
+        with open(os.path.join(partial_dir, "loop_state.json"), "w") as f:
+            json.dump({
+                "epoch": epoch,
+                "scheduler": dict(scheduler.__dict__) if scheduler else {},
+                "early_stop": dict(early_stop.__dict__),
+            }, f)
+
+    num_epochs_run = start_epoch
+    for epoch in range(start_epoch, epochs):
         t0 = time.time()
+        if profiler_trace_dir is not None and epoch == 1:
+            # best-effort: remote/tunneled TPU runtimes (axon/proxy/pathways)
+            # hang in start_trace — skip there rather than break training
+            import os as _os
+
+            if any(p in _os.environ.get("JAX_PLATFORMS", "")
+                   for p in ("axon", "proxy", "pathways")):
+                logger.warning("profiler tracing unsupported on tunneled "
+                               "runtime; skipping")
+                profiler_trace_dir = None
+            else:
+                try:
+                    jax.profiler.start_trace(profiler_trace_dir)
+                except Exception as e:  # pragma: no cover
+                    logger.warning("profiler trace unavailable: %s", e)
+                    profiler_trace_dir = None
         logger.info("Current learning rate: %s", get_learning_rate(opt_state))
 
         train_batcher.set_epoch(epoch)
@@ -270,8 +332,19 @@ def fit(
             lr = scheduler.step(current_val if scheduler.needs_metric else None)
             opt_state = set_learning_rate(opt_state, lr)
 
+        if profiler_trace_dir is not None and epoch == 1:
+            try:
+                jax.profiler.stop_trace()
+                logger.info("profiler trace of epoch 1 written to %s",
+                            profiler_trace_dir)
+            except Exception as e:  # pragma: no cover
+                logger.warning("profiler stop_trace failed: %s", e)
+                profiler_trace_dir = None
+
         early_stop.step(current_val, epoch)
         num_epochs_run = epoch + 1
+        if checkpoint_every and partial_dir and (epoch + 1) % checkpoint_every == 0:
+            save_partial(epoch)
         if early_stop.stop_training(epoch):
             logger.info(
                 "early stopping at epoch %d since %s didn't improve from epoch "
@@ -283,8 +356,6 @@ def fit(
     if tensorboard_summary_writer is not None:
         tensorboard_summary_writer.close_all_writers()
     if output_dir is not None:
-        import os
-
         path = save_params(params, os.path.join(output_dir, checkpoint_name))
         logger.info("saved final model to %s", path)
 

