@@ -1,0 +1,245 @@
+"""Fused Pallas TPU kernel for Sinkhorn scaling — the NeuralNDCG hot spot.
+
+The XLA formulation (ops/soft_sort.py) carries the scaling vectors through a
+``lax.scan``, but every iteration's matvec still streams the [N, L, L] matrix
+from HBM: ~50 iters x 2 matvecs x (4*N*L^2 bytes) forward plus the same again
+in the backward — ~3 GB of traffic per train step at N=64, L=240. This kernel
+keeps each slate's matrix RESIDENT IN VMEM across all iterations (240x240
+fp32 = 230 KB/slate, 8 slates per grid program), so HBM sees one read of M0
+and one write of the result. Measured on a v5e chip at N=64, L=240: the
+loss-gradient chain drops from 6.7 ms (XLA) to 4.8 ms.
+
+Precision notes (hard-won):
+  * The matvecs run as VPU multiply-reduce — exact fp32. MXU GEMVs at default
+    precision truncate to bf16 (~3e-4 relative) and the Sinkhorn gradient
+    cancels heavily, turning that into O(1)-relative gradient error;
+    Precision.HIGHEST fixes accuracy but costs 6 MXU passes per 1-row GEMV
+    and benches slower than the VPU form.
+  * ``1.0 / x`` lowers to a low-precision reciprocal on TPU; the backward
+    reconstructs matvec values with general division (``m_r / a_prev``)
+    instead.
+The kernel's forward agrees with a float64 host reference to 3e-8, vs ~3e-4
+for the XLA-on-TPU scan (reduced-precision fp32 einsum on MXU); the custom
+VJP agrees with XLA autodiff to 6e-8.
+
+Semantics: identical to ``sinkhorn_scaling``'s fixed-point iteration (column
+normalize, then row normalize, eps-clamped), EXCEPT the early-convergence
+freeze: the kernel always runs ``max_iter`` iterations; post-convergence
+iterations move row/col sums by < tol.
+
+Math of the fused form: any sequence of row/column scalings is
+``P = diag(a) @ M0 @ diag(b)``; the iteration is
+
+    c_t = b_{t-1} * (M0^T a_{t-1});  b_t = b_{t-1} / max(c_t, eps)
+    r_t = a_{t-1} * (M0 b_t);        a_t = a_{t-1} / max(r_t, eps)
+
+The backward replays the recurrence from stored per-iteration histories and
+collects its rank-1 dM0 contributions as row-stacked [T, L] factors, turning
+the accumulation into two [L, T] @ [T, L] MXU matmuls at the end:
+
+    dM0 = dP .* outer(a_T, b_T) + U^T Bh + Ah^T V
+    with u_t = dr_t * a_{t-1},  v_t = dc_t * b_{t-1}.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from allrank_tpu.constants import DEFAULT_EPS
+
+F32 = jnp.float32
+
+
+def _matvec_T(m0, a):
+    """[S,L] x [S,L,L] -> [S,L]: (M0^T a) per slate.
+
+    VPU multiply-reduce: exact fp32 (the gradient chain cancels heavily, so
+    reduced-precision MXU GEMVs are not an option) and faster than a
+    Precision.HIGHEST MXU GEMV, which pays 6 passes for a 1-row operand."""
+    return jnp.sum(m0 * a[:, :, None], axis=1)
+
+
+def _matvec(m0, b):
+    """[S,L,L] x [S,L] -> [S,L]: (M0 b) per slate, VPU multiply-reduce."""
+    return jnp.sum(m0 * b[:, None, :], axis=2)
+
+
+def _fwd_kernel(m0_ref, p_ref, a_hist_ref, b_hist_ref, *, max_iter: int):
+    m0 = m0_ref[:]  # [S, L, L] resident for the whole loop
+    s, l, _ = m0.shape
+    ones = jnp.ones((s, l), dtype=F32)
+    a_hist_ref[:, 0, :] = ones
+    b_hist_ref[:, 0, :] = ones
+
+    def body(t, carry):
+        a, b = carry
+        col = b * _matvec_T(m0, a)
+        b2 = b / jnp.maximum(col, DEFAULT_EPS)
+        row = a * _matvec(m0, b2)
+        a2 = a / jnp.maximum(row, DEFAULT_EPS)
+        a_hist_ref[:, t + 1, :] = a2
+        b_hist_ref[:, t + 1, :] = b2
+        return (a2, b2)
+
+    a, b = jax.lax.fori_loop(0, max_iter, body, (ones, ones))
+    p_ref[:] = a[:, :, None] * m0 * b[:, None, :]
+
+
+def _bwd_kernel(m0_ref, a_hist_ref, b_hist_ref, dp_ref, dm_ref,
+                u_scratch, v_scratch, *, max_iter: int):
+    m0 = m0_ref[:]
+    dp = dp_ref[:]
+
+    a_T = a_hist_ref[:, max_iter, :]
+    b_T = b_hist_ref[:, max_iter, :]
+
+    # dP -> (da_T, db_T) through P = a_T (.) M0 (.) b_T
+    g = dp * m0
+    da = jnp.sum(g * b_T[:, None, :], axis=2)
+    db = jnp.sum(g * a_T[:, :, None], axis=1)
+
+    # The iteration's matvec values are recovered ELEMENTWISE from the stored
+    # trajectories (m_r = a_{t-1}/a_t = max(r_t, eps); (M0 b_t) = m_r/a_{t-1})
+    # — valid because the HIGHEST-precision forward histories carry fp32
+    # accuracy; with default reduced-precision MXU histories the ~3e-4
+    # reconstruction error destroys the heavily-cancelling gradient. Only the
+    # two matvecs applying M0 to NEW cotangent vectors remain per iteration.
+    clamp_gate = DEFAULT_EPS * 1.0001
+
+    def body(i, carry):
+        da, db = carry
+        t = max_iter - i  # t = T .. 1
+        a_prev = a_hist_ref[:, t - 1, :]
+        b_prev = b_hist_ref[:, t - 1, :]
+        a_t = a_hist_ref[:, t, :]
+        b_t = b_hist_ref[:, t, :]
+
+        m_r = a_prev / a_t                   # max(r_t, eps)
+        m_c = b_prev / b_t                   # max(c_t, eps)
+        mb = m_r / a_prev                    # (M0 b_t)
+        mta = m_c / b_prev                   # (M0^T a_{t-1})
+
+        # a_t = a_prev / m_r
+        da_prev = da / m_r
+        dr = jnp.where(m_r > clamp_gate, -da * a_prev / (m_r * m_r), 0.0)
+        # r_t = a_prev * (M0 b_t)
+        da_prev = da_prev + dr * mb
+        u = dr * a_prev
+        u_scratch[:, t - 1, :] = u           # dM0 += outer(u, b_t), batched below
+        db_t_cot = db + _matvec_T(m0, u)
+
+        # b_t = b_prev / m_c
+        db_prev = db_t_cot / m_c
+        dc = jnp.where(m_c > clamp_gate, -db_t_cot * b_prev / (m_c * m_c), 0.0)
+        # c_t = b_prev * (M0^T a_{t-1})
+        db_prev = db_prev + dc * mta
+        v = dc * b_prev
+        v_scratch[:, t - 1, :] = v           # dM0 += outer(a_{t-1}, v), batched below
+        da_prev = da_prev + _matvec(m0, v)
+
+        return (da_prev, db_prev)
+
+    jax.lax.fori_loop(0, max_iter, body, (da, db))
+
+    # batched rank-1 accumulation as two MXU matmuls:
+    #   sum_t outer(u_t, b_t) = U^T Bh,  sum_t outer(a_{t-1}, v_t) = Ah^T V
+    u_all = u_scratch[:]                       # [S, T, L]
+    v_all = v_scratch[:]                       # [S, T, L]
+    b_hist = b_hist_ref[:, 1:max_iter + 1, :]  # b_t rows
+    a_hist = a_hist_ref[:, 0:max_iter, :]      # a_{t-1} rows
+
+    def stacked(x_all, y_all):
+        return jax.lax.dot_general(
+            x_all, y_all,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=F32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [S, L, L]
+
+    dm_ref[:] = (dp * a_T[:, :, None] * b_T[:, None, :]
+                 + stacked(u_all, b_hist)
+                 + stacked(a_hist, v_all))
+
+
+def _pick_block(n: int, largest: int = 8) -> int:
+    for s in (largest, largest // 2, 2, 1):
+        if 0 < s <= largest and n % s == 0:
+            return s
+    return 1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def sinkhorn_core_fused(m0: jnp.ndarray, max_iter: int = 50) -> jnp.ndarray:
+    """Fixed-trip Sinkhorn on pre-masked matrices [N, L, L] (fp32)."""
+    p, _, _ = _sinkhorn_fwd_call(m0, max_iter)
+    return p
+
+
+def _sinkhorn_fwd_call(m0, max_iter):
+    n, l, _ = m0.shape
+    s = _pick_block(n)
+    grid = (n // s,)
+    kernel = functools.partial(_fwd_kernel, max_iter=max_iter)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((s, l, l), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((s, l, l), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, max_iter + 1, l), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, max_iter + 1, l), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, l, l), F32),
+            jax.ShapeDtypeStruct((n, max_iter + 1, l), F32),
+            jax.ShapeDtypeStruct((n, max_iter + 1, l), F32),
+        ],
+    )(m0.astype(F32))
+
+
+def _sinkhorn_fwd(m0, max_iter):
+    p, a_hist, b_hist = _sinkhorn_fwd_call(m0, max_iter)
+    return p, (m0, a_hist, b_hist)
+
+
+def _sinkhorn_bwd(max_iter, residuals, dp):
+    m0, a_hist, b_hist = residuals
+    n, l, _ = m0.shape
+    # the backward holds 4 [S, L, L] blocks + scratch — half the block size
+    s = _pick_block(n, largest=4)
+    grid = (n // s,)
+    kernel = functools.partial(_bwd_kernel, max_iter=max_iter)
+    dm = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((s, l, l), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, max_iter + 1, l), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, max_iter + 1, l), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((s, l, l), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((s, l, l), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, l, l), F32),
+        scratch_shapes=[
+            pltpu.VMEM((s, max_iter, l), F32),
+            pltpu.VMEM((s, max_iter, l), F32),
+        ],
+    )(m0.astype(F32), a_hist, b_hist, dp.astype(F32))
+    return (dm,)
+
+
+sinkhorn_core_fused.defvjp(_sinkhorn_fwd, _sinkhorn_bwd)

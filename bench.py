@@ -37,12 +37,9 @@ def main() -> None:
     optimizer = make_optimizer("Adam", {"lr": 1e-3})
     opt_state = optimizer.init(params)
     loss_fn, needs_rng = get_loss("lambdaLoss")
-    # float32 benches faster than bfloat16 at this batch size (64): the B=64
-    # step is dispatch-latency-bound and bf16<->fp32 conversions dominate the
-    # tiny matmuls. bf16 wins at B>=256 (866k slates/sec at B=512).
     step = make_train_step(
         mdef, loss_fn, {"weighing_scheme": "ndcgLoss2PP_scheme", "mu": 10.0},
-        needs_rng, optimizer, None, "float32",
+        needs_rng, optimizer, None, "bfloat16",
     )
 
     x, y, indices, _ = _example_batch(batch, slate, feats)
@@ -51,19 +48,27 @@ def main() -> None:
     b = jax.device_put(SlateBatch(x, y, indices, np.ones(batch, dtype=bool)))
 
     rng = jax.random.PRNGKey(1)
-    # warmup / compile
+    # warmup / compile (forced host readback: on tunneled TPU runtimes
+    # block_until_ready returns before device completion — only a value
+    # fetch truly synchronizes)
     for _ in range(3):
         params, opt_state, rng, loss, _n = step(params, opt_state, rng, b)
-    jax.block_until_ready(loss)
+    float(loss)
 
-    n_steps = 30
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        params, opt_state, rng, loss, _n = step(params, opt_state, rng, b)
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
+    def timed(n_steps):
+        nonlocal params, opt_state, rng
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            params, opt_state, rng, loss, _n = step(params, opt_state, rng, b)
+        float(loss)  # force completion
+        return time.perf_counter() - t0
 
-    slates_per_sec = batch * n_steps / dt
+    # two-point measurement cancels the constant dispatch+fetch overhead
+    n1, n2 = 10, 50
+    t1, t2 = timed(n1), timed(n2)
+    dt = max((t2 - t1) / (n2 - n1), 1e-9)
+
+    slates_per_sec = batch / dt
 
     baseline = None
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
