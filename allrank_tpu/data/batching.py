@@ -17,7 +17,7 @@ reference: allrank/data/dataset_loading.py:230-247):
 from __future__ import annotations
 
 import collections
-from typing import Iterator, NamedTuple, Optional
+from typing import Iterator, NamedTuple
 
 import numpy as np
 

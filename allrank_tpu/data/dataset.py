@@ -12,7 +12,7 @@ falls back to sklearn's pure-python svmlight reader.
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

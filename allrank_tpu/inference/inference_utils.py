@@ -11,7 +11,7 @@ inference time — true ranks are unknown at serve time
 
 from __future__ import annotations
 
-from typing import Dict, Generator, Iterable, List, Tuple
+from typing import Dict, Generator, Iterable, Tuple
 
 import jax
 import jax.numpy as jnp

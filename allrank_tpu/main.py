@@ -42,7 +42,7 @@ from allrank_tpu.utils.file_utils import (
     create_output_dirs,
     is_gs_path,
 )
-from allrank_tpu.utils.ltr_logging import get_logger, init_logger
+from allrank_tpu.utils.ltr_logging import init_logger
 from allrank_tpu.utils.tensorboard_utils import TensorboardSummaryWriter
 
 

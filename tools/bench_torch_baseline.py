@@ -12,7 +12,7 @@ or copied). Writes bench_baseline.json used by bench.py's ``vs_baseline``.
 from __future__ import annotations
 
 import json
-import math
+
 import os
 import time
 
