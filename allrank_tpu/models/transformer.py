@@ -87,6 +87,25 @@ def transformer_init(key: jax.Array, tdef: TransformerDef) -> dict:
     return params
 
 
+# Slate length from which the fused Pallas attention kernel takes over on a
+# single TPU chip. At paper scale (L=240) XLA's fused einsum attention is
+# faster (3.1 vs 5.3 ms/step measured — the per-slate kernel grid is
+# overhead-bound); the kernel wins once the materialized [B, h, L, L]
+# score/prob tensors dominate HBM traffic. Set to 0 to force the kernel.
+FUSED_ATTENTION_MIN_LEN = 512
+
+
+def _use_fused_attention(slate_length: int) -> bool:
+    """Fused Pallas attention: single-chip TPU + long slates (the XLA einsum
+    path shards cleanly under SPMD meshes; pallas_call has no partition
+    rule)."""
+    return (
+        jax.default_backend() == "tpu"
+        and jax.device_count() == 1
+        and slate_length >= FUSED_ATTENTION_MIN_LEN
+    )
+
+
 def _attention(lp: dict, tdef: TransformerDef, x, key_mask, train, rng):
     b, l, d = x.shape
     h, d_k = tdef.h, tdef.d_model // tdef.h
@@ -97,10 +116,26 @@ def _attention(lp: dict, tdef: TransformerDef, x, key_mask, train, rng):
     k = k.reshape(b, l, h, d_k)
     v = v.reshape(b, l, h, d_k)
 
+    p_drop = float(tdef.dropout) if (train and tdef.dropout > 0.0) else 0.0
+    if _use_fused_attention(l):
+        from allrank_tpu.ops.attention_pallas import fused_slate_attention
+
+        seed = (
+            jax.random.randint(rng, (), 0, 2**31 - 1, dtype=jnp.int32)
+            if (p_drop > 0.0 and rng is not None)
+            else jnp.zeros((), dtype=jnp.int32)
+        )
+        ctx = fused_slate_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), key_mask, seed, p_drop,
+        )
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, d).astype(x.dtype)
+        return dense_apply(lp["out"], ctx)
+
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(d_k)
     scores = jnp.where(key_mask[:, None, None, :], NEG_INF_FILL, scores)
     probs = jax.nn.softmax(scores, axis=-1)
-    if train and tdef.dropout > 0.0:
+    if p_drop > 0.0:
         probs = dropout(rng, probs, tdef.dropout, train)
 
     ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, l, d)

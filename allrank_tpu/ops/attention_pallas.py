@@ -1,0 +1,191 @@
+"""Fused masked slate attention — Pallas TPU kernel with custom VJP.
+
+The slate encoder's attention materializes [B, h, L, L] score and probability
+tensors in HBM (XLA path in models/transformer.py). At slate lengths the
+whole L x L tile fits VMEM (240x240 fp32 = 230 KB), so this kernel fuses
+scores -> key-padding mask -> softmax -> (dropout) -> probs @ V per
+batch element (all heads resident) without writing the intermediates —
+flash-attention style, but single-tile: no online softmax needed at slate
+scale.
+
+Dropout on the attention probabilities (the reference trains with it,
+reference allrank/models/transformer.py:150-156) runs IN-KERNEL from the
+on-core PRNG: the backward replays the identical mask from the same seed, so
+nothing stochastic is stored.
+
+Backward recomputes the softmax in VMEM (cheap at slate scale) and runs the
+standard attention VJP:
+    dV = P^T dO;  dP = dO V^T;  dS = P (.) (dP - rowsum(dP (.) P))
+    dQ = dS K / sqrt(dk);  dK = dS^T Q / sqrt(dk)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from allrank_tpu.constants import NEG_INF_FILL
+
+F32 = jnp.float32
+_SEED_MIX = 1000003  # distinct PRNG stream per grid program
+
+
+def _dot(a, b):
+    """batched [G, L, M] @ [G, M, N] -> [G, L, N]."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=F32,
+    )
+
+
+def _dot_t(a, b):
+    """batched a^T @ b: [G, L, M], [G, L, N] -> [G, M, N]."""
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=F32,
+    )
+
+
+def _probs(q, k, padded, scale):
+    """[h, L, dk] x [h, L, dk] + [L] key-padded flags -> [h, L, L] softmax."""
+    scores = _dot(q, jnp.swapaxes(k, 1, 2)) * scale
+    scores = jnp.where(padded[None, None, :] > 0.5, NEG_INF_FILL, scores)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _dropout_keep(shape, p_drop: float):
+    """Deterministic keep-mask from the already-seeded on-core PRNG."""
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    threshold = jnp.uint32(int(p_drop * (2**32 - 1)))
+    return bits >= threshold
+
+
+def _program_seed(seed_ref):
+    flat_id = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    return seed_ref[0] + flat_id * _SEED_MIX
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
+                scale: float, p_drop: float):
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    p = _probs(q, k, mask_ref[0, 0], scale)
+    if p_drop > 0.0:
+        pltpu.prng_seed(_program_seed(seed_ref))
+        keep = _dropout_keep(p.shape, p_drop)
+        p = jnp.where(keep, p / (1.0 - p_drop), 0.0)
+    o_ref[0] = _dot(p, v)
+
+
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, *, scale: float, p_drop: float):
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    do = do_ref[0]
+    padded = mask_ref[0, 0]
+    p = _probs(q, k, padded, scale)
+    if p_drop > 0.0:
+        pltpu.prng_seed(_program_seed(seed_ref))
+        keep = _dropout_keep(p.shape, p_drop)
+        inv = 1.0 / (1.0 - p_drop)
+        p_dropped = jnp.where(keep, p * inv, 0.0)
+    else:
+        p_dropped = p
+
+    dv_ref[0] = _dot_t(p_dropped, do)
+    dp = _dot(do, jnp.swapaxes(v, 1, 2))
+    if p_drop > 0.0:
+        dp = jnp.where(keep, dp * inv, 0.0)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    ds = jnp.where(padded[None, None, :] > 0.5, 0.0, ds)
+    dq_ref[0] = _dot(ds, k) * scale
+    dk_ref[0] = _dot_t(ds, q) * scale
+
+
+def _head_block(h: int, l: int) -> int:
+    """Heads per program: keep the [hb, L, L] probs tile within ~6 MB VMEM
+    (plus q/k/v/o blocks and temporaries)."""
+    budget = 6 * 1024 * 1024
+    hb = max(1, min(h, budget // max(1, 4 * l * l)))
+    while h % hb:
+        hb -= 1
+    return hb
+
+
+def _specs(h, l, dk, hb):
+    # index maps receive (grid indices..., *scalar_prefetch_refs)
+    qkv = pl.BlockSpec((1, hb, l, dk), lambda b, j, *_: (b, j, 0, 0),
+                       memory_space=pltpu.VMEM)
+    mask = pl.BlockSpec((1, 1, l), lambda b, j, *_: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return qkv, mask
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_slate_attention(q, k, v, key_mask, seed, p_drop: float = 0.0):
+    """Masked softmax attention over slates, fused on TPU.
+
+    q, k, v: [B, h, L, d_k] float32; key_mask: [B, L] (True/nonzero = padded
+    document); seed: int32 scalar array driving in-kernel dropout. Returns
+    [B, h, L, d_k] fp32. ``p_drop`` (static) applies dropout to the attention
+    probabilities during training.
+    """
+    return _fwd_call(q, k, v, key_mask, p_drop, seed)
+
+
+def _prep(q, k, v, key_mask):
+    return (q.astype(F32), k.astype(F32), v.astype(F32),
+            key_mask.astype(F32)[:, None, :])  # [B, 1, L] for tiling rules
+
+
+def _fwd_call(q, k, v, key_mask, p_drop, seed):
+    b, h, l, dk = q.shape
+    scale = 1.0 / (dk ** 0.5)
+    hb = _head_block(h, l)
+    qkv_spec, mask_spec = _specs(h, l, dk, hb)
+    kernel = functools.partial(_fwd_kernel, scale=scale, p_drop=float(p_drop))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, h // hb),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, mask_spec],
+        out_specs=qkv_spec,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, l, dk), F32),
+    )(jnp.asarray(seed, dtype=jnp.int32).reshape(1), *_prep(q, k, v, key_mask))
+
+
+def _attention_fwd(q, k, v, key_mask, seed, p_drop):
+    out = _fwd_call(q, k, v, key_mask, p_drop, seed)
+    return out, (q, k, v, key_mask, seed)
+
+
+def _attention_bwd(p_drop, residuals, do):
+    q, k, v, key_mask, seed = residuals
+    b, h, l, dk = q.shape
+    scale = 1.0 / (dk ** 0.5)
+    hb = _head_block(h, l)
+    qkv_spec, mask_spec = _specs(h, l, dk, hb)
+    kernel = functools.partial(_bwd_kernel, scale=scale, p_drop=float(p_drop))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, h // hb),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, mask_spec, qkv_spec],
+        out_specs=[qkv_spec, qkv_spec, qkv_spec],
+    )
+    dq, dk_, dv = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((b, h, l, dk), F32)] * 3,
+    )(jnp.asarray(seed, dtype=jnp.int32).reshape(1), *_prep(q, k, v, key_mask),
+      do.astype(F32))
+    return dq, dk_, dv, None, None
+
+
+fused_slate_attention.defvjp(_attention_fwd, _attention_bwd)

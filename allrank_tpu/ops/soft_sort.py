@@ -56,6 +56,8 @@ def sinkhorn_scaling(
     if backend == "pallas" or (
         backend is None
         and jax.default_backend() == "tpu"
+        and jax.device_count() == 1  # pallas_call has no SPMD partition rule
+        # yet; on meshes the XLA path below shards cleanly with the batch
         and mat.shape[-1] <= 1024
     ):
         # fused VMEM-resident kernel (fixed-trip; see ops/sinkhorn_pallas.py)

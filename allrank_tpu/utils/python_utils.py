@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import importlib
+from contextlib import contextmanager
 from typing import Any, List
 
 from allrank_tpu.config import NameArgsConfig
@@ -40,3 +41,9 @@ def instantiate_from_recursive_name_args(name_args: NameArgsConfig):
 
 def all_equal(values: List[Any]) -> bool:
     return len(set(values)) == 1
+
+
+@contextmanager
+def dummy_context_mgr():
+    """No-op context manager (reference: allrank/utils/python_utils.py:11-13)."""
+    yield None
