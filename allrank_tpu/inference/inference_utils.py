@@ -106,3 +106,45 @@ def metrics_on_clicked_slates(
             "dcg": _clicked_dcg(y),
             "ndcg": _clicked_ndcg(y),
         }
+
+
+def make_rank_and_click_step(mdef: LTRModelDef, click_fn):
+    """ONE jitted program: score -> sort -> gather -> simulate clicks.
+
+    ``click_fn(rng, y_ranked) -> clicks`` is a vectorized click model
+    (click_models/jax_models.py). The north-star pipeline: click-through
+    regeneration never leaves the device."""
+
+    def step(params, x, y, rng):
+        mask = y == PADDED_Y_VALUE
+        indices = jnp.ones_like(y, dtype=jnp.int32)
+        scores = score(params, mdef, x, mask, indices, train=False)
+        scores = jnp.where(mask, -jnp.inf, scores)
+        order = jnp.argsort(scores, axis=-1, descending=True, stable=True)
+        x_ranked = jnp.take_along_axis(x, order[..., None], axis=1)
+        y_ranked = jnp.take_along_axis(y, order, axis=1)
+        return x_ranked, click_fn(rng, y_ranked)
+
+    return jax.jit(step)
+
+
+def rank_and_click_dataset(
+    dataset, slate_length: int, params, mdef: LTRModelDef, batch_size: int,
+    click_fn, include_empty: bool = False, seed: int = 42,
+):
+    """On-device rank + click over a whole dataset; returns (X slates,
+    click masks) as lists of [L, F] / [L] arrays (host layout matches
+    click_models.click_utils.click_on_slates)."""
+    batcher = SlateBatcher(dataset, slate_length, batch_size, shuffle=False)
+    step = make_rank_and_click_step(mdef, click_fn)
+    rng = jax.random.PRNGKey(seed)
+    xs, clicks_out = [], []
+    for i, batch in enumerate(batcher):
+        x_ranked, clicks = step(params, batch.x, batch.y,
+                                jax.random.fold_in(rng, i))
+        x_np, c_np = np.asarray(x_ranked), np.asarray(clicks)
+        for row in np.flatnonzero(batch.slate_mask):
+            if include_empty or (c_np[row] > 0).any():
+                xs.append(x_np[row])
+                clicks_out.append(c_np[row])
+    return xs, clicks_out

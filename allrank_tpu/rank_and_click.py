@@ -93,12 +93,29 @@ def run(args: Namespace = None) -> dict:
     )
     click_model = instantiate_from_recursive_name_args(config.click_model)
 
-    ranked_slates = rank_slates(datasets, params, mdef, config.data.batch_size)
+    # click models with a vectorized equivalent run fused with the ranking
+    # pass in one jitted program per batch — clicks never leave the device
+    from allrank_tpu.click_models.jax_models import as_device_click_fn
+    from allrank_tpu.inference.inference_utils import rank_and_click_dataset
 
-    clicked_slates = {
-        role: click_on_slates(slates, click_model, include_empty=False)
-        for role, slates in ranked_slates.items()
-    }
+    device_click_fn = as_device_click_fn(click_model)
+    if device_click_fn is not None:
+        logger.info("click model runs on-device (fused with ranking)")
+        clicked_slates = {
+            role: rank_and_click_dataset(
+                ds, slate_len, params, mdef, config.data.batch_size,
+                device_click_fn, include_empty=False,
+            )
+            for role, (ds, slate_len) in datasets.items()
+        }
+    else:
+        ranked_slates = rank_slates(
+            datasets, params, mdef, config.data.batch_size
+        )
+        clicked_slates = {
+            role: click_on_slates(slates, click_model, include_empty=False)
+            for role, slates in ranked_slates.items()
+        }
 
     for role, slates in clicked_slates.items():
         write_to_libsvm_without_masked(

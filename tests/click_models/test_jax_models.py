@@ -1,0 +1,125 @@
+"""On-device vectorized click models vs their host equivalents."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from allrank_tpu.click_models import (
+    BaseCascadeModel,
+    FixedClickModel,
+    MaxClicksModel,
+    OnlyRelevantClickModel,
+    RandomClickModel,
+)
+from allrank_tpu.click_models.jax_models import (
+    as_device_click_fn,
+    base_cascade_clicks,
+    fixed_clicks,
+    only_relevant_clicks,
+    random_clicks,
+)
+from allrank_tpu.constants import PADDED_Y_VALUE
+
+
+def _labels(B=6, L=10, seed=0, pad_tail=3):
+    rng = np.random.RandomState(seed)
+    y = rng.randint(0, 5, size=(B, L)).astype(np.float32)
+    y[:, -pad_tail:] = PADDED_Y_VALUE
+    return jnp.asarray(y)
+
+
+def test_only_relevant_matches_host_exactly():
+    y = _labels()
+    out = np.asarray(only_relevant_clicks(None, y, 2))
+    host = OnlyRelevantClickModel(2)
+    for i in range(y.shape[0]):
+        row = np.asarray(y[i])
+        real = row != PADDED_Y_VALUE
+        np.testing.assert_array_equal(out[i][real], host.click((None, row[real])))
+        assert (out[i][~real] == PADDED_Y_VALUE).all()
+
+
+def test_fixed_clicks_positions():
+    y = _labels()
+    out = np.asarray(fixed_clicks(None, y, [0, 2]))
+    assert (out[:, 0] == 1).all() and (out[:, 2] == 1).all()
+    assert (out[:, 1] == 0).all()
+    assert (out[:, -1] == PADDED_Y_VALUE).all()
+
+
+def test_base_cascade_statistics():
+    """eta=0 -> every doc observed: exact threshold behavior."""
+    y = _labels()
+    out = np.asarray(base_cascade_clicks(jax.random.PRNGKey(0), y, 0.0, 2))
+    real = np.asarray(y) != PADDED_Y_VALUE
+    np.testing.assert_array_equal(out[real], (np.asarray(y)[real] >= 2).astype(int))
+
+    # eta>0: observation probability at rank r is (1/r)^eta — check rate
+    B, L = 2000, 8
+    y2 = jnp.full((B, L), 4.0)
+    out2 = np.asarray(base_cascade_clicks(jax.random.PRNGKey(1), y2, 1.0, 1))
+    rates = out2.mean(axis=0)
+    expected = 1.0 / np.arange(1, L + 1)
+    np.testing.assert_allclose(rates, expected, atol=0.05)
+
+
+def test_random_clicks_count_and_padding():
+    y = _labels(pad_tail=2)
+    out = np.asarray(random_clicks(jax.random.PRNGKey(3), y, 3))
+    real = np.asarray(y) != PADDED_Y_VALUE
+    assert ((out == 1).sum(axis=1) == 3).all()
+    assert (out[~real] == PADDED_Y_VALUE).all()
+    assert ((out == 1) <= real).all()  # clicks only on real docs
+
+
+def test_as_device_click_fn_mapping():
+    assert as_device_click_fn(OnlyRelevantClickModel(1)) is not None
+    assert as_device_click_fn(BaseCascadeModel(1.0, 2)) is not None
+    assert as_device_click_fn(RandomClickModel(2)) is not None
+    assert as_device_click_fn(FixedClickModel([0])) is not None
+    assert as_device_click_fn(
+        MaxClicksModel(OnlyRelevantClickModel(1), 2)
+    ) is not None
+    from allrank_tpu.click_models import DiverseClicksModel
+
+    assert as_device_click_fn(
+        DiverseClicksModel(BaseCascadeModel(1.0, 2))
+    ) is None  # sequential dedup stays host-side
+
+
+def test_max_clicks_via_mapping():
+    y = jnp.asarray([[4.0, 4.0, 4.0, 4.0, PADDED_Y_VALUE]])
+    fn = as_device_click_fn(MaxClicksModel(OnlyRelevantClickModel(1), 2))
+    out = np.asarray(fn(jax.random.PRNGKey(0), y))
+    np.testing.assert_array_equal(out[0], [1, 1, 0, 0, PADDED_Y_VALUE])
+
+
+def test_device_rank_and_click_end_to_end():
+    """Fused rank+click over a dataset matches shapes/filters of the host path."""
+    from allrank_tpu.config import FCConfig, ModelConfig, PostModelConfig
+    from allrank_tpu.data.dataset import SlateDataset
+    from allrank_tpu.inference.inference_utils import rank_and_click_dataset
+    from allrank_tpu.models.factory import init_params, make_model
+
+    rng = np.random.RandomState(0)
+    n_q, L, F = 10, 6, 4
+    X = rng.randn(n_q * L, F).astype(np.float32)
+    y = rng.randint(0, 5, size=n_q * L).astype(np.float32)
+    qid = np.repeat(np.arange(n_q), L)
+    ds = SlateDataset(X, y, qid)
+    mdef = make_model(
+        ModelConfig(
+            fc_model=FCConfig(sizes=[4], input_norm=False, activation=None,
+                              dropout=None),
+            transformer=None,
+            post_model=PostModelConfig(d_output=1),
+        ), F,
+    )
+    params = init_params(jax.random.PRNGKey(0), mdef)
+    fn = as_device_click_fn(OnlyRelevantClickModel(2))
+    xs, clicks = rank_and_click_dataset(ds, L, params, mdef, 4, fn)
+    assert len(xs) == len(clicks) > 0
+    for x_s, c_s in zip(xs, clicks):
+        assert x_s.shape == (L, F)
+        assert set(np.unique(c_s)).issubset({PADDED_Y_VALUE, 0, 1})
+        assert (c_s > 0).any()  # include_empty=False filtered
