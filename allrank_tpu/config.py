@@ -77,6 +77,8 @@ class TrainingConfig:
     checkpoint_every: Optional[int] = None  # mid-training checkpoint cadence
     resume: bool = False  # resume from <output_dir>/partial if present
     profiler_trace_dir: Optional[str] = None  # jax.profiler trace of epoch 1
+    metrics_on_train: bool = True  # False skips the per-epoch train-split
+    # metrics pass (the reference iterates the train set twice per epoch)
 
 
 @dataclass

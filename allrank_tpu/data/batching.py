@@ -81,6 +81,7 @@ class SlateBatcher:
         b, L = self.batch_size, self.slate_length
         n_features = self.dataset.n_features
 
+        arange_L = np.arange(L, dtype=np.int32)
         for start in range(0, len(order), b):
             chunk = order[start : start + b]
             x = np.zeros((b, L, n_features), dtype=np.float32)
@@ -90,8 +91,17 @@ class SlateBatcher:
 
             for row, ds_idx in enumerate(chunk):
                 sx, sy = self.dataset[int(ds_idx)]
-                fx, fy, fi = fix_slate(sx, sy, L, rng)
-                x[row], y[row], indices[row] = fx, fy, fi
+                n = len(sy)
+                if n <= L:
+                    # pad: write straight into the batch buffers (the
+                    # fix_slate/np.pad path allocates 3 intermediates per
+                    # slate and was the training loop's host bottleneck)
+                    x[row, :n] = sx
+                    y[row, :n] = sy
+                    indices[row, :n] = arange_L[:n]
+                else:
+                    fx, fy, fi = fix_slate(sx, sy, L, rng)
+                    x[row], y[row], indices[row] = fx, fy, fi
                 slate_mask[row] = True
 
             yield SlateBatch(x, y, indices, slate_mask)

@@ -145,6 +145,7 @@ def run(args: Namespace = None) -> dict:
             checkpoint_every=config.training.checkpoint_every,
             resume=config.training.resume,
             profiler_trace_dir=config.training.profiler_trace_dir,
+            metrics_on_train=config.training.metrics_on_train,
         )
 
     result_for_dump = {k: v for k, v in result.items() if k != "params"}

@@ -199,6 +199,7 @@ def fit(
     checkpoint_every: Optional[int] = None,
     resume: bool = False,
     profiler_trace_dir: Optional[str] = None,
+    metrics_on_train: bool = True,
 ) -> Dict[str, Any]:
     """The epoch loop (reference: allrank/training/train_utils.py:78-147).
 
@@ -308,9 +309,10 @@ def fit(
         train_loss = float(loss_total) / float(n_total)
 
         eval_rng = jax.random.fold_in(rng, epoch)
-        train_metrics, _ = compute_metrics(
-            eval_step, params, prefetch(train_batcher), eval_rng
-        )
+        if metrics_on_train:
+            train_metrics, _ = compute_metrics(
+                eval_step, params, prefetch(train_batcher), eval_rng
+            )
         val_metrics, val_loss = compute_metrics(
             eval_step, params, prefetch(val_batcher), eval_rng
         )
