@@ -8,11 +8,14 @@ jit-stable JAX:
     list comprehension over host-synced mask sums (loss_utils.py:54-57) —
     a host/device sync per call. Here it is a closed-form ``where`` over an
     iota: scaling[j] = valid_n + 1 - 2*(j+1) for j < valid_n else 0.
-  * Sinkhorn runs as a fixed-trip ``lax.scan`` whose updates freeze once the
-    tolerance is met — identical early-exit semantics to the reference's
-    data-dependent ``break`` (loss_utils.py:21-26), but compilable and
-    reverse-differentiable. Each iteration is rematerialized under
-    ``jax.checkpoint`` to keep backward memory at O(1) matrices per step.
+  * Sinkhorn runs as a fixed-trip ``lax.scan`` in diagonal-scaling form
+    (O(L) carried state) whose updates freeze once the tolerance is met —
+    identical early-exit semantics to the reference's data-dependent
+    ``break`` (loss_utils.py:21-26) but compilable and
+    reverse-differentiable; on a single TPU chip it dispatches to the fused
+    VMEM-resident Pallas kernel (ops/sinkhorn_pallas.py), and
+    ``sinkhorn_scaling_sp`` shards the slate axis across a mesh for
+    sequence-parallel execution on very long slates.
 """
 
 from __future__ import annotations
@@ -172,3 +175,59 @@ def stochastic_neural_sort(
 
     p_hat = deterministic_neural_sort(s_perturb, tau, mask_tiled)
     return p_hat.reshape(n_samples, batch, n, n)
+
+
+def sinkhorn_scaling_sp(
+    mat: jnp.ndarray,
+    mesh,
+    axis: str = "model",
+    mask: Optional[jnp.ndarray] = None,
+    max_iter: int = 50,
+) -> jnp.ndarray:
+    """Sequence-parallel Sinkhorn: the [N, L, L] matrices sharded over their
+    ROW axis across ``mesh[axis]`` — the slate-axis ("sequence parallel")
+    extension for very long slates where even one L x L matrix strains a
+    single chip (reference has no analog; its answer to long slates is
+    subsampling, dataset_loading.py:61-79).
+
+    In the diagonal form (see ``sinkhorn_scaling``) the split is natural:
+      * a (row scalings) is row-sharded with the matrix; b is replicated;
+      * column sums  b * (M0^T a)  need one ``psum`` over the axis;
+      * row sums     a * (M0 b)    are fully local.
+    One collective per iteration, O(L) bytes — the O(L^2) matrix never moves.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if mask is not None:
+        either = mask[:, None, :] | mask[:, :, None]
+        both = mask[:, None, :] & mask[:, :, None]
+        mat = jnp.where(either, 0.0, mat)
+        mat = jnp.where(both, 1.0, mat)
+
+    def local(m0):
+        n, l_local, l = m0.shape
+        a = jnp.ones_like(m0[:, :, 0])        # row shard (device-varying)
+        b = jnp.ones((n, l), dtype=m0.dtype)  # replicated
+
+        def one_iteration(carry, _):
+            a, b = carry
+            col_partial = jnp.einsum("nij,ni->nj", m0, a)
+            col = b * jax.lax.psum(col_partial, axis)
+            b2 = b / jnp.maximum(col, DEFAULT_EPS)
+            row = a * jnp.einsum("nij,nj->ni", m0, b2)  # local
+            a2 = a / jnp.maximum(row, DEFAULT_EPS)
+            return (a2, b2), None
+
+        (a, b), _ = jax.lax.scan(one_iteration, (a, b), None, length=max_iter)
+        return a[:, :, None] * m0 * b[:, None, :]
+
+    out = shard_map(
+        local, mesh=mesh,
+        in_specs=P(None, axis, None),
+        out_specs=P(None, axis, None),
+    )(mat)
+
+    if mask is not None:
+        out = jnp.where(mask[:, None, :] | mask[:, :, None], 0.0, out)
+    return out
