@@ -79,6 +79,8 @@ class TrainingConfig:
     profiler_trace_dir: Optional[str] = None  # jax.profiler trace of epoch 1
     metrics_on_train: bool = True  # False skips the per-epoch train-split
     # metrics pass (the reference iterates the train set twice per epoch)
+    scan_steps: int = 1  # optimizer steps per device dispatch (lax.scan over
+    # stacked batches; amortizes host dispatch for small models)
 
 
 @dataclass

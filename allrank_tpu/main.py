@@ -146,6 +146,7 @@ def run(args: Namespace = None) -> dict:
             resume=config.training.resume,
             profiler_trace_dir=config.training.profiler_trace_dir,
             metrics_on_train=config.training.metrics_on_train,
+            scan_steps=config.training.scan_steps,
         )
 
     result_for_dump = {k: v for k, v in result.items() if k != "params"}

@@ -66,14 +66,22 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     gradient_clipping_norm: Optional[float],
     compute_dtype: str = "float32",
+    scan_steps: int = 1,
 ):
     """Build the jitted train step:
     (params, opt_state, rng, batch) -> (params, opt_state, rng, loss, n_real).
+
+    With ``scan_steps > 1`` the step takes ``scan_steps`` stacked batches
+    (leading axis on every SlateBatch leaf) and runs them as one device-side
+    ``lax.scan`` — one dispatch per K optimizer steps. Tail groups are padded
+    with all-dummy batches whose updates are skipped entirely (an Adam step
+    with zero gradients is NOT a no-op, so dummies must not step). Returned
+    loss/n_real are [K] arrays.
     """
     dtype = _compute_dtype(compute_dtype)
     loss_kwargs = dict(loss_kwargs or {})
 
-    def step(params, opt_state, rng, batch: SlateBatch):
+    def one_batch(params, opt_state, rng, batch: SlateBatch):
         x, y, indices, slate_mask = batch
         mask = y == PADDED_Y_VALUE
         next_rng, drop_rng, loss_rng = jax.random.split(rng, 3)
@@ -98,7 +106,71 @@ def make_train_step(
         n_real = jnp.sum(slate_mask.astype(jnp.float32))
         return params, opt_state, next_rng, loss, n_real
 
+    if scan_steps <= 1:
+        return jax.jit(one_batch, donate_argnums=(0, 1, 2))
+
+    def step(params, opt_state, rng, batches: SlateBatch):
+        def body(carry, batch):
+            params, opt_state, rng = carry
+            new_p, new_o, rng, loss, n_real = one_batch(
+                params, opt_state, rng, batch
+            )
+            # all-dummy padding batch: skip the optimizer step entirely
+            is_real = jnp.any(batch.slate_mask)
+            params = jax.tree.map(
+                lambda new, old: jnp.where(is_real, new, old), new_p, params
+            )
+            opt_state = jax.tree.map(
+                lambda new, old: jnp.where(is_real, new, old)
+                if hasattr(new, "shape") else new,
+                new_o, opt_state,
+            )
+            return (params, opt_state, rng), (loss, n_real)
+
+        (params, opt_state, rng), (losses, n_reals) = jax.lax.scan(
+            body, (params, opt_state, rng), batches
+        )
+        return params, opt_state, rng, losses, n_reals
+
     return jax.jit(step, donate_argnums=(0, 1, 2))
+
+
+def _stack_batches(batches) -> SlateBatch:
+    return SlateBatch(*(np.stack(leaves) for leaves in zip(*batches)))
+
+
+def _dummy_like(batch: SlateBatch) -> SlateBatch:
+    return SlateBatch(
+        np.zeros_like(batch.x),
+        np.full_like(batch.y, float(PADDED_Y_VALUE)),
+        np.full_like(batch.indices, PADDED_Y_VALUE),
+        np.zeros_like(batch.slate_mask),
+    )
+
+
+def _grouped(batches, k: int):
+    """Yield SlateBatches with a leading [k] axis; the tail group is padded
+    with all-dummy batches (their updates are skipped in the scan)."""
+    buf = []
+    for b in batches:
+        buf.append(b)
+        if len(buf) == k:
+            yield _stack_batches(buf)
+            buf = []
+    if buf:
+        buf.extend(_dummy_like(buf[0]) for _ in range(k - len(buf)))
+        yield _stack_batches(buf)
+
+
+def _stacked_shardings(batch_shardings):
+    """Lift per-batch shardings to stacked [K, ...] batches (K replicated)."""
+    if batch_shardings is None:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return jax.tree.map(
+        lambda s: NamedSharding(s.mesh, P(None, *s.spec)), batch_shardings
+    )
 
 
 def make_eval_fns(
@@ -200,6 +272,7 @@ def fit(
     resume: bool = False,
     profiler_trace_dir: Optional[str] = None,
     metrics_on_train: bool = True,
+    scan_steps: int = 1,
 ) -> Dict[str, Any]:
     """The epoch loop (reference: allrank/training/train_utils.py:78-147).
 
@@ -217,9 +290,10 @@ def fit(
     rng = jax.random.PRNGKey(seed)
     rng, step_rng = jax.random.split(rng)
 
+    scan_steps = max(1, int(scan_steps or 1))
     train_step = make_train_step(
         mdef, loss_fn, loss_kwargs, needs_rng, optimizer,
-        gradient_clipping_norm, compute_dtype,
+        gradient_clipping_norm, compute_dtype, scan_steps=scan_steps,
     )
     eval_step = make_eval_fns(
         mdef, loss_fn, loss_kwargs, needs_rng, metrics, compute_dtype
@@ -297,15 +371,24 @@ def fit(
         train_batcher.set_epoch(epoch)
         loss_total = None
         n_total = None
-        for batch in prefetch(train_batcher):
+        if scan_steps > 1:
+            train_stream = DevicePrefetcher(
+                _grouped(train_batcher, scan_steps),
+                shardings=_stacked_shardings(batch_shardings),
+            )
+        else:
+            train_stream = prefetch(train_batcher)
+        for batch in train_stream:
             params, opt_state, step_rng, loss, n_real = train_step(
                 params, opt_state, step_rng, batch
             )
+            # with scan_steps > 1, loss/n_real are [K] arrays — the same
+            # weighted accumulation applies elementwise before the sum
             if n_total is None:
-                loss_total, n_total = loss * n_real, n_real
+                loss_total, n_total = jnp.sum(loss * n_real), jnp.sum(n_real)
             else:
-                loss_total = loss_total + loss * n_real
-                n_total = n_total + n_real
+                loss_total = loss_total + jnp.sum(loss * n_real)
+                n_total = n_total + jnp.sum(n_real)
         train_loss = float(loss_total) / float(n_total)
 
         eval_rng = jax.random.fold_in(rng, epoch)
