@@ -60,9 +60,25 @@ def parse_args() -> Namespace:
     return parser.parse_args()
 
 
+def _setup_compilation_cache() -> None:
+    """Persistent XLA compilation cache (ALLRANK_TPU_CACHE_DIR, default
+    ~/.cache/allrank_tpu_xla). Kernel-heavy steps (fused Sinkhorn/attention)
+    can take minutes to compile on remote-compile runtimes; the cache makes
+    repeat runs instant."""
+    cache_dir = os.environ.get(
+        "ALLRANK_TPU_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "allrank_tpu_xla"),
+    )
+    if cache_dir and cache_dir != "0":
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def run(args: Namespace = None) -> dict:
     args = args or parse_args()
     np.random.seed(42)
+    _setup_compilation_cache()
     distributed_init()
 
     paths = PathsContainer.from_args(args.job_dir, args.run_id, args.config_file_name)

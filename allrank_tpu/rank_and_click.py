@@ -62,6 +62,9 @@ def parse_args() -> Namespace:
 def run(args: Namespace = None) -> dict:
     args = args or parse_args()
     np.random.seed(42)
+    from allrank_tpu.main import _setup_compilation_cache
+
+    _setup_compilation_cache()
 
     paths = PathsContainer.from_args(args.job_dir, args.run_id, args.config_file_name)
     os.makedirs(paths.base_output_path, exist_ok=True)
