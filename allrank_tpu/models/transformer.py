@@ -87,23 +87,43 @@ def transformer_init(key: jax.Array, tdef: TransformerDef) -> dict:
     return params
 
 
-# Slate length from which the fused Pallas attention kernel takes over on a
-# single TPU chip. At paper scale (L=240) XLA's fused einsum attention is
-# faster (3.1 vs 5.3 ms/step measured — the per-slate kernel grid is
-# overhead-bound); the kernel wins once the materialized [B, h, L, L]
-# score/prob tensors dominate HBM traffic. Set to 0 to force the kernel.
+# Slate length from which the fused Pallas attention kernel takes over on
+# TPU. At paper scale (L=240) XLA's fused einsum attention is faster (3.1 vs
+# 5.3 ms/step measured — the per-slate kernel grid is overhead-bound); the
+# kernel wins once the materialized [B, h, L, L] score/prob tensors dominate
+# HBM traffic. Set to 0 to force the kernel.
 FUSED_ATTENTION_MIN_LEN = 512
 
 
-def _use_fused_attention(slate_length: int) -> bool:
-    """Fused Pallas attention: single-chip TPU + long slates (the XLA einsum
-    path shards cleanly under SPMD meshes; pallas_call has no partition
-    rule)."""
-    return (
-        jax.default_backend() == "tpu"
-        and jax.device_count() == 1
-        and slate_length >= FUSED_ATTENTION_MIN_LEN
-    )
+def _fused_attention_runner(slate_length: int, batch: int):
+    """Returns a wrapper that runs fused_slate_attention appropriately for
+    the device context (directly on one chip, per-shard via shard_map over
+    the data axis on meshes), or None when the XLA path should be used."""
+    if jax.default_backend() != "tpu" or slate_length < FUSED_ATTENTION_MIN_LEN:
+        return None
+    from allrank_tpu.ops.attention_pallas import fused_slate_attention
+
+    if jax.device_count() == 1:
+        return fused_slate_attention
+
+    from allrank_tpu.parallel.mesh import DATA_AXIS, ambient_mesh
+    from jax.sharding import PartitionSpec as P
+
+    phys = ambient_mesh()
+    if phys is None or DATA_AXIS not in phys.shape or batch % phys.shape[DATA_AXIS]:
+        return None
+
+    def sharded(q, k, v, key_mask, seed, p_drop):
+        return jax.shard_map(
+            lambda q, k, v, m, s: fused_slate_attention(q, k, v, m, s, p_drop),
+            mesh=phys,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                      P()),
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )(q, k, v, key_mask, seed)
+
+    return sharded
 
 
 def _attention(lp: dict, tdef: TransformerDef, x, key_mask, train, rng):
@@ -117,15 +137,14 @@ def _attention(lp: dict, tdef: TransformerDef, x, key_mask, train, rng):
     v = v.reshape(b, l, h, d_k)
 
     p_drop = float(tdef.dropout) if (train and tdef.dropout > 0.0) else 0.0
-    if _use_fused_attention(l):
-        from allrank_tpu.ops.attention_pallas import fused_slate_attention
-
+    fused = _fused_attention_runner(l, b)
+    if fused is not None:
         seed = (
             jax.random.randint(rng, (), 0, 2**31 - 1, dtype=jnp.int32)
             if (p_drop > 0.0 and rng is not None)
             else jnp.zeros((), dtype=jnp.int32)
         )
-        ctx = fused_slate_attention(
+        ctx = fused(
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3), key_mask, seed, p_drop,
         )

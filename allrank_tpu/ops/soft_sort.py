@@ -59,17 +59,38 @@ def sinkhorn_scaling(
     if backend == "pallas" or (
         backend is None
         and jax.default_backend() == "tpu"
-        and jax.device_count() == 1  # pallas_call has no SPMD partition rule
-        # yet; on meshes the XLA path below shards cleanly with the batch
         and mat.shape[-1] <= 1024
     ):
-        # fused VMEM-resident kernel (fixed-trip; see ops/sinkhorn_pallas.py)
+        # fused VMEM-resident kernel (fixed-trip; see ops/sinkhorn_pallas.py).
+        # pallas_call has no SPMD partition rule, so on a device mesh the
+        # kernel runs per-shard under shard_map over the batch ('data') axis;
+        # single chip calls it directly.
         from allrank_tpu.ops.sinkhorn_pallas import sinkhorn_core_fused
 
-        mat = sinkhorn_core_fused(mat.astype(jnp.float32), max_iter)
-        if mask is not None:
-            mat = jnp.where(mask[:, None, :] | mask[:, :, None], 0.0, mat)
-        return mat
+        fused = None
+        if jax.device_count() == 1:
+            fused = lambda m: sinkhorn_core_fused(m, max_iter)  # noqa: E731
+        else:
+            from allrank_tpu.parallel.mesh import DATA_AXIS, ambient_mesh
+
+            phys = ambient_mesh()
+            if (phys is not None and DATA_AXIS in phys.shape
+                    and mat.shape[0] % phys.shape[DATA_AXIS] == 0):
+                from jax.sharding import PartitionSpec as P
+
+                fused = jax.shard_map(
+                    lambda m: sinkhorn_core_fused(m, max_iter),
+                    mesh=phys,
+                    in_specs=P(DATA_AXIS),
+                    out_specs=P(DATA_AXIS),
+                    check_vma=False,  # pallas outputs carry no vma info
+                )
+        if fused is not None:
+            mat = fused(mat.astype(jnp.float32))
+            if mask is not None:
+                mat = jnp.where(mask[:, None, :] | mask[:, :, None], 0.0, mat)
+            return mat
+        # no usable mesh context -> fall through to the XLA scan
 
     m0 = mat
     n, m = mat.shape[0], mat.shape[1]
