@@ -1,0 +1,91 @@
+"""Serving path: low-latency slate scoring + portable model export.
+
+The reference has no serving story (training-only; rank_and_click reloads
+checkpoints in-process). For production ranking this module provides:
+
+  * ``make_scorer``      — a jitted, fixed-shape ``(x, lengths) -> scores``
+                           function with padding handled from per-slate doc
+                           counts (the natural serve-time input; labels don't
+                           exist at serving time).
+  * ``make_ranker``      — same, returning the permutation (descending score
+                           order with padding last) instead of raw scores.
+  * ``export_scorer`` /
+    ``load_scorer``      — `jax.export` StableHLO serialization: the scorer
+                           (architecture + weights baked in) round-trips
+                           through a single portable artifact runnable
+                           without this package's model code.
+
+As in the reference's inference path, positional encodings see rank index 1
+for every document (true ranks are unknown at serve time — reference
+allrank/inference/inference_utils.py:48-50).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from allrank_tpu.models.factory import LTRModelDef, score
+
+
+def _mask_from_lengths(lengths: jnp.ndarray, slate_length: int) -> jnp.ndarray:
+    positions = jnp.arange(slate_length, dtype=jnp.int32)[None, :]
+    return positions >= lengths[:, None].astype(jnp.int32)
+
+
+def make_scorer(params, mdef: LTRModelDef):
+    """Jitted ``(x [B, L, F], lengths [B]) -> scores [B, L]``; padded
+    positions score -inf (sort-last under any downstream ordering)."""
+
+    @jax.jit
+    def scorer(x, lengths):
+        mask = _mask_from_lengths(lengths, x.shape[1])
+        indices = jnp.ones(x.shape[:2], dtype=jnp.int32)
+        scores = score(params, mdef, x, mask, indices, train=False)
+        return jnp.where(mask, -jnp.inf, scores)
+
+    return scorer
+
+
+def make_ranker(params, mdef: LTRModelDef):
+    """Jitted ``(x, lengths) -> order [B, L]``: document indices in
+    descending score order, padded positions last."""
+    scorer = make_scorer(params, mdef)
+
+    @jax.jit
+    def ranker(x, lengths):
+        return jnp.argsort(scorer(x, lengths), axis=-1, descending=True,
+                           stable=True)
+
+    return ranker
+
+
+def export_scorer(params, mdef: LTRModelDef, slate_length: int,
+                  n_features: int, path: str, batch_size: int = 64) -> str:
+    """Serialize the scorer (weights baked in) to a portable StableHLO
+    artifact at ``path``. Shapes are fixed at export: [batch_size,
+    slate_length, n_features] inputs."""
+    from jax import export as jexport
+
+    scorer = make_scorer(params, mdef)
+    exported = jexport.export(scorer)(
+        jax.ShapeDtypeStruct((batch_size, slate_length, n_features),
+                             jnp.float32),
+        jax.ShapeDtypeStruct((batch_size,), jnp.int32),
+    )
+    with open(path, "wb") as f:
+        f.write(exported.serialize())
+    return path
+
+
+def load_scorer(path: str):
+    """Load an exported scorer; returns ``(x, lengths) -> scores``."""
+    from jax import export as jexport
+
+    with open(path, "rb") as f:
+        exported = jexport.deserialize(f.read())
+
+    def scorer(x, lengths):
+        return exported.call(x, lengths)
+
+    return scorer
