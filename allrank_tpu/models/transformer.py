@@ -91,15 +91,20 @@ def transformer_init(key: jax.Array, tdef: TransformerDef) -> dict:
 # TPU. At paper scale (L=240) XLA's fused einsum attention is faster (3.1 vs
 # 5.3 ms/step measured — the per-slate kernel grid is overhead-bound); the
 # kernel wins once the materialized [B, h, L, L] score/prob tensors dominate
-# HBM traffic. Set to 0 to force the kernel.
+# HBM traffic. Set to 0 to force the kernel. Above MAX_LEN even a single
+# head's [L, L] probability tile exceeds the VMEM budget (true flash-style
+# L-tiling with online softmax is a future extension) — XLA handles those.
 FUSED_ATTENTION_MIN_LEN = 512
+FUSED_ATTENTION_MAX_LEN = 1224
 
 
 def _fused_attention_runner(slate_length: int, batch: int):
     """Returns a wrapper that runs fused_slate_attention appropriately for
     the device context (directly on one chip, per-shard via shard_map over
     the data axis on meshes), or None when the XLA path should be used."""
-    if jax.default_backend() != "tpu" or slate_length < FUSED_ATTENTION_MIN_LEN:
+    if (jax.default_backend() != "tpu"
+            or not (FUSED_ATTENTION_MIN_LEN <= slate_length
+                    <= FUSED_ATTENTION_MAX_LEN)):
         return None
     from allrank_tpu.ops.attention_pallas import fused_slate_attention
 

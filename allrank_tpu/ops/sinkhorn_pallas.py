@@ -105,10 +105,10 @@ def _bwd_kernel(m0_ref, a_hist_ref, b_hist_ref, dp_ref, dm_ref,
 
     # The iteration's matvec values are recovered ELEMENTWISE from the stored
     # trajectories (m_r = a_{t-1}/a_t = max(r_t, eps); (M0 b_t) = m_r/a_{t-1})
-    # — valid because the HIGHEST-precision forward histories carry fp32
-    # accuracy; with default reduced-precision MXU histories the ~3e-4
-    # reconstruction error destroys the heavily-cancelling gradient. Only the
-    # two matvecs applying M0 to NEW cotangent vectors remain per iteration.
+    # — valid because the forward's VPU histories carry exact fp32 accuracy;
+    # with reduced-precision MXU histories the ~3e-4 reconstruction error
+    # destroys the heavily-cancelling gradient. Only the two matvecs applying
+    # M0 to NEW cotangent vectors remain per iteration.
     clamp_gate = DEFAULT_EPS * 1.0001
 
     def body(i, carry):
@@ -166,9 +166,15 @@ def _bwd_kernel(m0_ref, a_hist_ref, b_hist_ref, dp_ref, dm_ref,
                  + stacked(a_hist, v_all))
 
 
-def _pick_block(n: int, largest: int = 8) -> int:
-    for s in (largest, largest // 2, 2, 1):
-        if 0 < s <= largest and n % s == 0:
+def _pick_block(n: int, l: int, n_mats: int, max_iter: int,
+                largest: int = 8) -> int:
+    """Slates per grid program, bounded by a ~10 MB VMEM budget: ``n_mats``
+    [S, L, L] blocks plus the two [S, T+1, L] histories per program."""
+    budget = 10 * 1024 * 1024
+    per_slate = n_mats * l * l * 4 + 2 * (max_iter + 1) * l * 4
+    cap = max(1, min(largest, budget // max(1, per_slate)))
+    for s in range(cap, 0, -1):
+        if n % s == 0:
             return s
     return 1
 
@@ -182,7 +188,7 @@ def sinkhorn_core_fused(m0: jnp.ndarray, max_iter: int = 50) -> jnp.ndarray:
 
 def _sinkhorn_fwd_call(m0, max_iter):
     n, l, _ = m0.shape
-    s = _pick_block(n)
+    s = _pick_block(n, l, n_mats=2, max_iter=max_iter)  # m0 + P blocks
     grid = (n // s,)
     kernel = functools.partial(_fwd_kernel, max_iter=max_iter)
     return pl.pallas_call(
@@ -214,8 +220,8 @@ def _sinkhorn_fwd(m0, max_iter):
 def _sinkhorn_bwd(max_iter, residuals, dp):
     m0, a_hist, b_hist = residuals
     n, l, _ = m0.shape
-    # the backward holds 4 [S, L, L] blocks + scratch — half the block size
-    s = _pick_block(n, largest=4)
+    # the backward holds 4 [S, L, L] blocks (m0, dP, dM out, temporaries)
+    s = _pick_block(n, l, n_mats=4, max_iter=max_iter, largest=4)
     grid = (n // s,)
     kernel = functools.partial(_bwd_kernel, max_iter=max_iter)
     dm = pl.pallas_call(

@@ -59,7 +59,9 @@ def sinkhorn_scaling(
     if backend == "pallas" or (
         backend is None
         and jax.default_backend() == "tpu"
-        and mat.shape[-1] <= 1024
+        # cap: the backward kernel holds 4 [1, L, L] blocks at minimum —
+        # beyond L~768 even a single-slate block exceeds the VMEM budget
+        and mat.shape[-1] <= 768
     ):
         # fused VMEM-resident kernel (fixed-trip; see ops/sinkhorn_pallas.py).
         # pallas_call has no SPMD partition rule, so on a device mesh the
