@@ -151,6 +151,17 @@ def main() -> int:
             dict(weighing_scheme="lambdaRank_scheme", k=10),
             dict(weighing_scheme="lambdaRank_scheme", k=10))
 
+    # listMLE: both implementations shuffle for tie-breaking (different RNGs),
+    # but with tie-free labels the label sort is unique, so the losses must
+    # agree exactly despite the different permutations
+    from allrank.models.losses.listMLE import listMLE as ref_listmle
+
+    tie_free = np.stack([rng.permutation(Ln) for _ in range(B)]).astype(np.float32)
+    tie_free[:, -8:] = -1.0
+    yt = tie_free  # rebinds the enclosing-scope labels used by compare()
+    compare("listMLE[tie-free]", ref_listmle,
+            lambda p, t, **kw: L.listMLE(p, t, rng=jax.random.PRNGKey(0), **kw))
+
     if failures:
         print("MISMATCHES:", failures)
         return 1
