@@ -91,25 +91,37 @@ def transformer_init(key: jax.Array, tdef: TransformerDef) -> dict:
 # TPU. At paper scale (L=240) XLA's fused einsum attention is faster (3.1 vs
 # 5.3 ms/step measured — the per-slate kernel grid is overhead-bound); the
 # kernel wins once the materialized [B, h, L, L] score/prob tensors dominate
-# HBM traffic. Set to 0 to force the kernel. Above MAX_LEN even a single
-# head's [L, L] probability tile exceeds the VMEM budget (true flash-style
-# L-tiling with online softmax is a future extension) — XLA handles those.
+# HBM traffic. Set to 0 to force the kernel. Above MAX_LEN a single head's
+# [L, L] probability tile exceeds the VMEM budget and the K-tiled
+# online-softmax kernel (ops/attention_tiled.py) takes over — except when
+# attention dropout is active (the tiled kernel has no dropout; XLA runs).
 FUSED_ATTENTION_MIN_LEN = 512
 FUSED_ATTENTION_MAX_LEN = 1224
+TILED_ATTENTION_MAX_LEN = 8192
 
 
-def _fused_attention_runner(slate_length: int, batch: int):
-    """Returns a wrapper that runs fused_slate_attention appropriately for
-    the device context (directly on one chip, per-shard via shard_map over
-    the data axis on meshes), or None when the XLA path should be used."""
+def _fused_attention_runner(slate_length: int, batch: int, p_drop: float):
+    """Returns a wrapper that runs the appropriate fused attention for the
+    device context (directly on one chip, per-shard via shard_map over the
+    data axis on meshes), or None when the XLA path should be used."""
     if (jax.default_backend() != "tpu"
             or not (FUSED_ATTENTION_MIN_LEN <= slate_length
-                    <= FUSED_ATTENTION_MAX_LEN)):
+                    <= TILED_ATTENTION_MAX_LEN)):
         return None
-    from allrank_tpu.ops.attention_pallas import fused_slate_attention
+    if slate_length > FUSED_ATTENTION_MAX_LEN:
+        if p_drop > 0.0:
+            return None  # no in-kernel dropout in the tiled variant
+        from allrank_tpu.ops.attention_tiled import tiled_slate_attention
+
+        def base(q, k, v, key_mask, seed, p_drop):
+            return tiled_slate_attention(q, k, v, key_mask)
+    else:
+        from allrank_tpu.ops.attention_pallas import fused_slate_attention
+
+        base = fused_slate_attention
 
     if jax.device_count() == 1:
-        return fused_slate_attention
+        return base
 
     from allrank_tpu.parallel.mesh import DATA_AXIS, ambient_mesh
     from jax.sharding import PartitionSpec as P
@@ -120,7 +132,7 @@ def _fused_attention_runner(slate_length: int, batch: int):
 
     def sharded(q, k, v, key_mask, seed, p_drop):
         return jax.shard_map(
-            lambda q, k, v, m, s: fused_slate_attention(q, k, v, m, s, p_drop),
+            lambda q, k, v, m, s: base(q, k, v, m, s, p_drop),
             mesh=phys,
             in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
                       P()),
@@ -142,7 +154,7 @@ def _attention(lp: dict, tdef: TransformerDef, x, key_mask, train, rng):
     v = v.reshape(b, l, h, d_k)
 
     p_drop = float(tdef.dropout) if (train and tdef.dropout > 0.0) else 0.0
-    fused = _fused_attention_runner(l, b)
+    fused = _fused_attention_runner(l, b, p_drop)
     if fused is not None:
         seed = (
             jax.random.randint(rng, (), 0, 2**31 - 1, dtype=jnp.int32)

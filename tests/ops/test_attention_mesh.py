@@ -44,10 +44,10 @@ def test_runner_selects_sharded_path_on_mesh(monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     mesh = make_mesh(ParallelConfig(data=4, model=1))
     with mesh:
-        runner = T._fused_attention_runner(slate_length=32, batch=8)
+        runner = T._fused_attention_runner(slate_length=32, batch=8, p_drop=0.0)
     assert runner is not None
     # indivisible batch -> falls back to XLA
     with mesh:
-        assert T._fused_attention_runner(slate_length=32, batch=7) is None
+        assert T._fused_attention_runner(slate_length=32, batch=7, p_drop=0.0) is None
     # no ambient mesh on multi-device -> falls back to XLA
-    assert T._fused_attention_runner(slate_length=32, batch=8) is None
+    assert T._fused_attention_runner(slate_length=32, batch=8, p_drop=0.0) is None

@@ -1,0 +1,60 @@
+"""K-tiled online-softmax attention vs the einsum reference — interpreter."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.pallas import tpu as pltpu
+
+from allrank_tpu.constants import NEG_INF_FILL
+from allrank_tpu.ops.attention_tiled import tiled_slate_attention
+
+
+def _data(B=2, h=2, L=300, dk=16, seed=0):
+    rng = np.random.RandomState(seed)
+    q = jnp.asarray(rng.randn(B, h, L, dk).astype(np.float32))
+    k = jnp.asarray(rng.randn(B, h, L, dk).astype(np.float32))
+    v = jnp.asarray(rng.randn(B, h, L, dk).astype(np.float32))
+    mask = jnp.asarray(np.arange(L)[None, :] >= np.array([L, 120])[:, None])
+    return q, k, v, mask
+
+
+def _ref(q, k, v, mask):
+    dk = q.shape[-1]
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(dk)
+    s = jnp.where(mask[:, None, None, :], NEG_INF_FILL, s)
+    return jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), v)
+
+
+def test_forward_matches_reference_across_tiles():
+    # L=300 pads to 512 -> exercises 2 k-tiles + tile padding masks
+    q, k, v, mask = _data()
+    with pltpu.force_tpu_interpret_mode():
+        out = tiled_slate_attention(q, k, v, mask)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(_ref(q, k, v, mask)), atol=2e-5
+    )
+
+
+def test_gradients_match_reference():
+    q, k, v, mask = _data()
+
+    def lf(q, k, v):
+        return jnp.sum(jnp.sin(tiled_slate_attention(q, k, v, mask)))
+
+    def lr(q, k, v):
+        return jnp.sum(jnp.sin(_ref(q, k, v, mask)))
+
+    with pltpu.force_tpu_interpret_mode():
+        gf = jax.grad(lf, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(lr, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_single_tile_length():
+    q, k, v, mask = _data(L=128)
+    with pltpu.force_tpu_interpret_mode():
+        out = tiled_slate_attention(q, k, v, mask)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(_ref(q, k, v, mask)), atol=2e-5
+    )
