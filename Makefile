@@ -18,7 +18,11 @@ tests:
 lint:
 	python -m flake8 --max-line-length 120 allrank_tpu tests || true
 
+wheel:
+	pip wheel --no-deps -w dist/ .
+
 ci: native lint tests
 
 clean:
 	rm -f allrank_tpu/native/libsvm_parser.so
+	rm -rf dist build *.egg-info
