@@ -19,7 +19,7 @@ lint:
 	python -m flake8 --max-line-length 120 allrank_tpu tests || true
 
 wheel:
-	pip wheel --no-deps -w dist/ .
+	pip wheel --no-deps --no-build-isolation -w dist/ .
 
 ci: native lint tests
 
