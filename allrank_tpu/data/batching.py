@@ -10,14 +10,22 @@ reference: allrank/data/dataset_loading.py:230-247):
     ``DevicePrefetcher`` overlays H2D transfer of batch t+1 with device
     compute of batch t using ``jax.device_put`` with an explicit sharding,
     so data-parallel shards go straight to their devices.
-  * Per-process sharding for multi-host: pass (process_index, process_count)
-    and each host assembles only its own slate shard.
+  * Multi-host: every process derives the SAME epoch permutation and the
+    same global-batch boundaries (seeded shuffle), then assembles ONLY the
+    rows its addressable devices own under the batch sharding
+    (``local_rows``). The prefetcher stitches the per-process pieces into
+    global arrays with ``jax.make_array_from_process_local_data`` — each
+    slate is consumed exactly once per epoch across the whole pod, the
+    pod-level analog of the reference's n_gpus×batch_size DataParallel
+    global batch without silent data loss.
+  * Slate subsampling draws from a per-(seed, epoch, slate) RNG, so the
+    assembled global batch is bit-identical regardless of process layout.
 """
 
 from __future__ import annotations
 
 import collections
-from typing import Iterator, NamedTuple
+from typing import Iterator, NamedTuple, Optional
 
 import numpy as np
 
@@ -35,6 +43,12 @@ class SlateBatch(NamedTuple):
 class SlateBatcher:
     """Iterates fixed-shape batches over a SlateDataset.
 
+    ``batch_size`` is the GLOBAL batch; ``local_rows`` (default: all rows)
+    selects which positions of each global batch this process assembles —
+    sorted global row indices owned by this process's devices (see
+    ``parallel.process_local_rows``). Yields batches of shape
+    ``[len(local_rows), L, F]``.
+
     shuffle/randomized subsampling re-draw each epoch from ``seed + epoch``;
     call ``set_epoch`` before each pass for reshuffling (train role).
     """
@@ -46,8 +60,8 @@ class SlateBatcher:
         batch_size: int,
         shuffle: bool = False,
         seed: int = 42,
-        process_index: int = 0,
-        process_count: int = 1,
+        local_rows: Optional[np.ndarray] = None,
+        num_workers: int = 0,
     ):
         self.dataset = dataset
         self.slate_length = int(slate_length)
@@ -55,54 +69,98 @@ class SlateBatcher:
         self.shuffle = shuffle
         self.seed = seed
         self.epoch = 0
-        self.process_index = process_index
-        self.process_count = process_count
+        if local_rows is None:
+            local_rows = np.arange(self.batch_size)
+        self.local_rows = np.asarray(local_rows, dtype=np.int64)
+        if self.local_rows.size and (
+            self.local_rows.min() < 0 or self.local_rows.max() >= self.batch_size
+        ):
+            raise ValueError(
+                f"local_rows must index into the global batch [0, {self.batch_size})"
+            )
+        self.num_workers = int(num_workers or 0)
+        self._pool = None
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
-    def _local_order(self, rng: np.random.RandomState) -> np.ndarray:
+    def _order(self) -> np.ndarray:
+        """The epoch's global slate permutation — identical on every process."""
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
-            rng.shuffle(order)
-        # contiguous per-process shard (all processes see same permutation)
-        return order[self.process_index :: self.process_count]
+            np.random.RandomState(self.seed + self.epoch).shuffle(order)
+        return order
+
+    def _slate_rng(self, ds_idx: int) -> np.random.RandomState:
+        """Per-(seed, epoch, slate) stream: subsampling is independent of
+        which process/batch position assembles the slate."""
+        s = (self.seed * 1000003 + self.epoch) * 1000003 + int(ds_idx)
+        return np.random.RandomState(s % (2**31 - 1))
 
     def __len__(self) -> int:
-        n_local = len(
-            range(self.process_index, len(self.dataset), self.process_count)
-        )
-        return -(-n_local // self.batch_size)
+        """Global batch count — identical on every process (lockstep)."""
+        return -(-len(self.dataset) // self.batch_size)
+
+    def _fill_row(self, bufs, row: int, ds_idx: int, arange_L: np.ndarray) -> None:
+        x, y, indices, slate_mask = bufs
+        L = self.slate_length
+        sx, sy = self.dataset[int(ds_idx)]
+        n = len(sy)
+        if n < L:
+            # pad: write straight into the batch buffers (the
+            # fix_slate/np.pad path allocates 3 intermediates per
+            # slate and was the training loop's host bottleneck)
+            x[row, :n] = sx
+            y[row, :n] = sy
+            indices[row, :n] = arange_L[:n]
+        else:
+            # n >= L: random subsample/permutation with the relevance guard
+            # (reference permutes full-length slates too,
+            # dataset_loading.py:55-58)
+            fx, fy, fi = fix_slate(sx, sy, L, self._slate_rng(ds_idx))
+            x[row], y[row], indices[row] = fx, fy, fi
+        slate_mask[row] = True
+
+    def _get_pool(self):
+        if self._pool is None and self.num_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        return self._pool
 
     def __iter__(self) -> Iterator[SlateBatch]:
-        rng = np.random.RandomState(self.seed + self.epoch)
-        order = self._local_order(rng)
-        b, L = self.batch_size, self.slate_length
+        order = self._order()
+        G, L = self.batch_size, self.slate_length
         n_features = self.dataset.n_features
+        local_rows = self.local_rows
+        n_local = len(local_rows)
+        pool = self._get_pool()
 
         arange_L = np.arange(L, dtype=np.int32)
-        for start in range(0, len(order), b):
-            chunk = order[start : start + b]
-            x = np.zeros((b, L, n_features), dtype=np.float32)
-            y = np.full((b, L), float(PADDED_Y_VALUE), dtype=np.float32)
-            indices = np.full((b, L), PADDED_Y_VALUE, dtype=np.int32)
-            slate_mask = np.zeros((b,), dtype=bool)
+        for start in range(0, len(order), G):
+            chunk = order[start : start + G]  # global batch; may be short
+            x = np.zeros((n_local, L, n_features), dtype=np.float32)
+            y = np.full((n_local, L), float(PADDED_Y_VALUE), dtype=np.float32)
+            indices = np.full((n_local, L), PADDED_Y_VALUE, dtype=np.int32)
+            slate_mask = np.zeros((n_local,), dtype=bool)
+            bufs = (x, y, indices, slate_mask)
 
-            for row, ds_idx in enumerate(chunk):
-                sx, sy = self.dataset[int(ds_idx)]
-                n = len(sy)
-                if n <= L:
-                    # pad: write straight into the batch buffers (the
-                    # fix_slate/np.pad path allocates 3 intermediates per
-                    # slate and was the training loop's host bottleneck)
-                    x[row, :n] = sx
-                    y[row, :n] = sy
-                    indices[row, :n] = arange_L[:n]
-                else:
-                    fx, fy, fi = fix_slate(sx, sy, L, rng)
-                    x[row], y[row], indices[row] = fx, fy, fi
-                slate_mask[row] = True
+            todo = [
+                (row, int(chunk[gpos]))
+                for row, gpos in enumerate(local_rows)
+                if gpos < len(chunk)
+            ]
+            if pool is not None:
+                list(
+                    pool.map(
+                        lambda args: self._fill_row(bufs, args[0], args[1], arange_L),
+                        todo,
+                    )
+                )
+            else:
+                for row, ds_idx in todo:
+                    self._fill_row(bufs, row, ds_idx, arange_L)
 
             yield SlateBatch(x, y, indices, slate_mask)
 
@@ -114,6 +172,11 @@ class DevicePrefetcher:
     single-device default placement). Keeps ``depth`` batches in flight —
     jax.device_put is async, so H2D DMA of future batches overlaps the
     current step's compute.
+
+    Multi-process: host batches are per-process row shards; the global
+    jax.Array is stitched from every process's local piece with
+    ``jax.make_array_from_process_local_data`` (row order must match the
+    sharding's device→index map — ``SlateBatcher.local_rows`` guarantees it).
     """
 
     def __init__(self, batches, shardings=None, depth: int = 2):
@@ -125,11 +188,19 @@ class DevicePrefetcher:
         import jax
 
         queue: collections.deque = collections.deque()
+        multiprocess = jax.process_count() > 1
 
         def put(batch: SlateBatch):
             if self.shardings is None:
                 return jax.device_put(batch)
-            return jax.device_put(batch, self.shardings)
+            if not multiprocess:
+                return jax.device_put(batch, self.shardings)
+            return jax.tree.map(
+                lambda leaf, s: jax.make_array_from_process_local_data(s, leaf),
+                batch,
+                self.shardings,
+                is_leaf=lambda v: isinstance(v, np.ndarray),
+            )
 
         it = iter(self.batches)
         try:

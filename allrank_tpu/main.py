@@ -30,6 +30,7 @@ from allrank_tpu.parallel import (
     distributed_init,
     make_mesh,
     param_shardings,
+    process_local_rows,
 )
 from allrank_tpu.training import fit, make_optimizer, make_scheduler
 from allrank_tpu.utils.experiments import (
@@ -112,16 +113,19 @@ def run(args: Namespace = None) -> dict:
     # global batch = n_parallel_units * config batch size.
     global_batch = config.data.batch_size * n_data_shards
 
-    process_index, process_count = jax.process_index(), jax.process_count()
+    # Multi-host: each process assembles only the global-batch rows its own
+    # devices hold under the P('data') sharding; the prefetcher stitches them
+    # into global arrays (no duplicated or dropped slates across the pod).
+    local_rows = process_local_rows(global_batch, mesh)
     train_batcher = SlateBatcher(
         train_ds, train_len, global_batch, shuffle=True,
-        seed=config.data.shuffle_seed,
-        process_index=process_index, process_count=process_count,
+        seed=config.data.shuffle_seed, local_rows=local_rows,
+        num_workers=config.data.num_workers,
     )
     val_batcher = SlateBatcher(
         val_ds, val_len, global_batch, shuffle=False,
-        seed=config.data.shuffle_seed,
-        process_index=process_index, process_count=process_count,
+        seed=config.data.shuffle_seed, local_rows=local_rows,
+        num_workers=config.data.num_workers,
     )
 
     mdef = make_model(config.model, n_features)

@@ -15,5 +15,6 @@ from allrank_tpu.parallel.mesh import (  # noqa: F401
     distributed_init,
     make_mesh,
     param_shardings,
+    process_local_rows,
     replicated,
 )

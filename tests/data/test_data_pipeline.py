@@ -108,15 +108,80 @@ class TestBatcher:
         e1 = next(iter(b1)).y
         assert not np.array_equal(e0_a, e1)
 
-    def test_process_sharding_partitions_slates(self, dummy_dir):
-        ds, _ = load_dataset_role("train", dummy_dir, slate_length=7)
-        seen = []
-        for pi in range(2):
-            batcher = SlateBatcher(ds, 7, 4, shuffle=False,
-                                   process_index=pi, process_count=2)
-            for b in batcher:
-                seen.extend(b.y[b.slate_mask].tolist())
-        assert len(seen) == len(ds)
+    def _identifiable_dataset(self, n_slates=11, docs=7, n_features=3):
+        """Each slate's feature 0 equals its slate id — slates are
+        identifiable after shuffling/subsampling."""
+        X = np.zeros((n_slates * docs, n_features), dtype=np.float32)
+        X[:, 0] = np.repeat(np.arange(n_slates, dtype=np.float32), docs)
+        y = np.tile(np.arange(docs, dtype=np.float32) % 3, n_slates)
+        qids = np.repeat(np.arange(n_slates), docs)
+        return SlateDataset(X, y, qids)
+
+    def test_multiprocess_epoch_covers_every_slate_exactly_once(self):
+        """Across P simulated processes, each epoch consumes every dataset
+        slate exactly once (the reference's DataParallel global-batch
+        convention, dataset_loading.py:239-242, without silent data loss)."""
+        ds = self._identifiable_dataset()
+        G = 4
+        for P in (2, 4):
+            rows_per = G // P
+            seen = []
+            for p in range(P):
+                lr = np.arange(p * rows_per, (p + 1) * rows_per)
+                batcher = SlateBatcher(ds, 5, G, shuffle=True, seed=3,
+                                       local_rows=lr)
+                batcher.set_epoch(2)
+                for b in batcher:
+                    seen.extend(b.x[b.slate_mask, 0, 0].astype(int).tolist())
+            assert sorted(seen) == list(range(len(ds)))
+
+    def test_multiprocess_assembly_is_layout_invariant(self):
+        """Concatenating the P per-process shards reproduces the P=1 global
+        batch bit-for-bit (subsampling rng is per-slate, not per-process)."""
+        ds = self._identifiable_dataset()  # 7-doc slates, L=5 -> subsample path
+        G = 4
+        ref = list(SlateBatcher(ds, 5, G, shuffle=True, seed=3))
+        for P in (2, 4):
+            rows_per = G // P
+            shards = [
+                list(SlateBatcher(ds, 5, G, shuffle=True, seed=3,
+                                  local_rows=np.arange(p * rows_per,
+                                                       (p + 1) * rows_per)))
+                for p in range(P)
+            ]
+            assert all(len(s) == len(ref) for s in shards)
+            for t, rb in enumerate(ref):
+                for leaf_i in range(4):
+                    glob = np.concatenate([shards[p][t][leaf_i] for p in range(P)])
+                    np.testing.assert_array_equal(glob, rb[leaf_i])
+
+    def test_num_workers_matches_serial_assembly(self):
+        ds = self._identifiable_dataset()
+        serial = list(SlateBatcher(ds, 5, 4, shuffle=True, seed=3))
+        pooled = list(SlateBatcher(ds, 5, 4, shuffle=True, seed=3,
+                                   num_workers=4))
+        for sb, pb in zip(serial, pooled):
+            for leaf_i in range(4):
+                np.testing.assert_array_equal(sb[leaf_i], pb[leaf_i])
+
+    def test_full_length_slates_are_permuted_each_epoch(self):
+        """Reference FixLength sends n == L slates through _sample (a fresh
+        permutation per epoch, dataset_loading.py:55-58) — not identity."""
+        ds = self._identifiable_dataset(n_slates=2, docs=7)
+        batcher = SlateBatcher(ds, 7, 2, shuffle=False, seed=0)
+        b0 = next(iter(batcher))
+        batcher.set_epoch(1)
+        b1 = next(iter(batcher))
+        assert not np.array_equal(b0.indices, b1.indices)
+        # permutation, not subsample: all 7 original ranks present
+        assert sorted(b0.indices[0].tolist()) == list(range(7))
+
+    def test_process_local_rows_single_process_owns_all(self):
+        from allrank_tpu.parallel import make_mesh, process_local_rows
+
+        mesh = make_mesh()
+        rows = process_local_rows(16, mesh)
+        np.testing.assert_array_equal(rows, np.arange(16))
 
 
 class TestSaving:
