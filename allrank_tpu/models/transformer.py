@@ -131,8 +131,15 @@ def _fused_attention_runner(slate_length: int, batch: int, p_drop: float):
         return None
 
     def sharded(q, k, v, key_mask, seed, p_drop):
+        def body(q, k, v, m, s):
+            # de-correlate per-shard dropout: the seed arrives replicated, so
+            # without mixing in the shard index every data shard would draw
+            # identical attention-dropout masks for same-local-index slates
+            s = s + jax.lax.axis_index(DATA_AXIS).astype(jnp.int32) * jnp.int32(1000003)
+            return base(q, k, v, m, s, p_drop)
+
         return jax.shard_map(
-            lambda q, k, v, m, s: base(q, k, v, m, s, p_drop),
+            body,
             mesh=phys,
             in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
                       P()),

@@ -43,9 +43,12 @@ def save_params(params: Any, path: str) -> str:
     return path
 
 
-def load_params(template: Any, path: str) -> Any:
+def load_params(template: Any, path: str, strict: bool = True) -> Any:
     """Load an npz checkpoint into the structure of ``template`` (a pytree
-    with the same architecture, e.g. freshly initialized params)."""
+    with the same architecture, e.g. freshly initialized params).
+
+    ``strict=False`` keeps the template's value for leaves absent from the
+    file (used for optimizer state, where non-array leaves are not saved)."""
     if is_gs_path(path):
         path = copy_file_to_local(path)
     with np.load(path) as data:
@@ -54,6 +57,9 @@ def load_params(template: Any, path: str) -> Any:
         for p, leaf in leaves:
             key = _path_key(p)
             if key not in data:
+                if not strict:
+                    loaded.append(leaf)
+                    continue
                 raise KeyError(f"checkpoint {path} is missing parameter '{key}'")
             arr = data[key]
             if arr.shape != tuple(np.shape(leaf)):
@@ -66,14 +72,25 @@ def load_params(template: Any, path: str) -> Any:
 
 
 def save_opt_state(opt_state: Any, path: str) -> Optional[str]:
-    """Best-effort optimizer-state save (skips non-array leaves)."""
+    """Optimizer-state save. Non-array leaves are skipped individually (they
+    are reconstructed from the fresh template on resume via
+    ``load_params(..., strict=False)``); skipped keys are logged so a resume
+    surprise is visible at save time, not load time."""
     leaves, _ = jax.tree_util.tree_flatten_with_path(opt_state)
     arrays = {}
+    skipped = []
     for p, v in leaves:
         try:
             arrays[_path_key(p)] = np.asarray(v)
         except (TypeError, ValueError):
-            return None
+            skipped.append(_path_key(p))
+    if skipped:
+        from allrank_tpu.utils.ltr_logging import get_logger
+
+        get_logger().warning(
+            "opt-state leaves not serializable, resume will re-init them: %s",
+            skipped,
+        )
     with open(path, "wb") as f:
         np.savez(f, **arrays)
     return path

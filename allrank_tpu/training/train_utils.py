@@ -233,7 +233,11 @@ def compute_metrics(
             totals = {k: totals[k] + v for k, v in sums.items()}
             loss_total = loss_total + loss_sum
             n_total = n_total + n_real
+    if n_total is None:
+        raise ValueError("empty batch stream: the evaluation split has no batches")
     n = float(n_total)
+    if n == 0.0:
+        raise ValueError("evaluation split contains zero real slates")
     return {k: float(v) / n for k, v in totals.items()}, float(loss_total) / n
 
 
@@ -289,6 +293,9 @@ def fit(
     """
     rng = jax.random.PRNGKey(seed)
     rng, step_rng = jax.random.split(rng)
+    # multi-host: every process runs the same jitted computation; only the
+    # coordinator writes artifacts (checkpoints, tensorboard)
+    is_main_process = jax.process_index() == 0
 
     scan_steps = max(1, int(scan_steps or 1))
     train_step = make_train_step(
@@ -323,13 +330,19 @@ def fit(
         from allrank_tpu.training.checkpoint import load_params as _load
 
         params = _load(params, os.path.join(partial_dir, "params.npz"))
-        opt_state = _load(opt_state, os.path.join(partial_dir, "opt_state.npz"))
+        opt_state = _load(
+            opt_state, os.path.join(partial_dir, "opt_state.npz"), strict=False
+        )
         with open(os.path.join(partial_dir, "loop_state.json")) as f:
             loop_state = json.load(f)
         start_epoch = loop_state["epoch"] + 1
         if scheduler is not None:
             scheduler.__dict__.update(loop_state["scheduler"])
         early_stop.__dict__.update(loop_state["early_stop"])
+        # restore the PRNG streams for bit-reproducible continuation
+        if "step_rng" in loop_state:
+            step_rng = jnp.asarray(loop_state["step_rng"], dtype=jnp.uint32)
+            rng = jnp.asarray(loop_state["rng"], dtype=jnp.uint32)
         logger.info("resumed from %s at epoch %d", partial_dir, start_epoch)
 
     def save_partial(epoch: int) -> None:
@@ -345,6 +358,8 @@ def fit(
                 "epoch": epoch,
                 "scheduler": dict(scheduler.__dict__) if scheduler else {},
                 "early_stop": dict(early_stop.__dict__),
+                "step_rng": np.asarray(step_rng).tolist(),
+                "rng": np.asarray(rng).tolist(),
             }, f)
 
     num_epochs_run = start_epoch
@@ -406,7 +421,7 @@ def fit(
             time.time() - t0,
         )
 
-        if tensorboard_summary_writer is not None:
+        if tensorboard_summary_writer is not None and is_main_process:
             tb = {("train", "loss"): train_loss, ("val", "loss"): val_loss}
             tb.update({("train", k): v for k, v in train_metrics.items()})
             tb.update({("val", k): v for k, v in val_metrics.items()})
@@ -428,7 +443,8 @@ def fit(
 
         early_stop.step(current_val, epoch)
         num_epochs_run = epoch + 1
-        if checkpoint_every and partial_dir and (epoch + 1) % checkpoint_every == 0:
+        if (checkpoint_every and partial_dir and is_main_process
+                and (epoch + 1) % checkpoint_every == 0):
             save_partial(epoch)
         if early_stop.stop_training(epoch):
             logger.info(
@@ -440,7 +456,7 @@ def fit(
 
     if tensorboard_summary_writer is not None:
         tensorboard_summary_writer.close_all_writers()
-    if output_dir is not None:
+    if output_dir is not None and is_main_process:
         path = save_params(params, os.path.join(output_dir, checkpoint_name))
         logger.info("saved final model to %s", path)
 

@@ -31,8 +31,8 @@ def _setup():
     return ds, mdef
 
 
-def _fit(ds, mdef, out_dir, epochs, **kw):
-    loss_fn, needs_rng = get_loss("listNet")
+def _fit(ds, mdef, out_dir, epochs, loss="listNet", **kw):
+    loss_fn, needs_rng = get_loss(loss)
     return fit(
         epochs=epochs,
         params=init_params(jax.random.PRNGKey(0), mdef),
@@ -76,6 +76,25 @@ def test_resume_continues_and_matches_uninterrupted_run(tmp_path):
 
     assert resumed["epochs"] == 6
     # same data order (epoch-seeded shuffles) and same update rule -> the
-    # resumed run must land close to the uninterrupted one (not exact:
-    # the train-step PRNG stream restarts at resume)
+    # resumed run must land close to the uninterrupted one
     assert abs(resumed["val_metrics"]["ndcg_5"] - full["val_metrics"]["ndcg_5"]) < 0.05
+
+
+def test_resume_is_bit_reproducible_with_rng_loss(tmp_path):
+    """The training PRNG stream is checkpointed: a resumed run of an
+    rng-consuming loss (listMLE's tie shuffle) matches the uninterrupted run
+    parameter-for-parameter."""
+    ds, mdef = _setup()
+    full_dir = str(tmp_path / "full")
+    os.makedirs(full_dir)
+    full = _fit(ds, mdef, full_dir, epochs=4, loss="listMLE")
+
+    part_dir = str(tmp_path / "interrupted")
+    os.makedirs(part_dir)
+    _fit(ds, mdef, part_dir, epochs=2, loss="listMLE", checkpoint_every=2)
+    resumed = _fit(ds, mdef, part_dir, epochs=4, loss="listMLE",
+                   checkpoint_every=2, resume=True)
+
+    for a, b in zip(jax.tree.leaves(full["params"]),
+                    jax.tree.leaves(resumed["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
