@@ -66,6 +66,10 @@ class DataConfig:
     slate_length: int
     validation_ds_role: str
     shuffle_seed: int = 42
+    eval_buckets: int = 0  # >0: group validation slates into that many
+    # length buckets (one compiled eval shape per bucket) instead of padding
+    # every slate to the split's longest — metric-invariant, but the O(L^2)+
+    # eval-loss terms run near each slate's true length
 
 
 @dataclass
@@ -91,10 +95,12 @@ class NameArgsConfig:
 
 @dataclass
 class ParallelConfig:
-    """Mesh layout. data * model must equal the number of devices used."""
+    """Mesh layout. data * model * sequence must equal the device count used."""
 
     data: int = -1  # -1 = all available devices on the data axis
     model: int = 1
+    sequence: int = 1  # slate-axis sharding of the O(L^2) soft-sort loss
+    # tensors (NeuralNDCG): each device holds an [L/sequence, L] row block
 
 
 @dataclass

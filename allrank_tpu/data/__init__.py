@@ -6,6 +6,10 @@ from allrank_tpu.data.dataset import (  # noqa: F401
     load_dataset,
     load_dataset_role,
 )
-from allrank_tpu.data.batching import SlateBatcher, DevicePrefetcher  # noqa: F401
+from allrank_tpu.data.batching import (  # noqa: F401
+    BucketedSlateBatcher,
+    DevicePrefetcher,
+    SlateBatcher,
+)
 from allrank_tpu.data.saving import write_to_libsvm_without_masked  # noqa: F401
 from allrank_tpu.data.dummy import generate_dummy_data, write_dummy_dataset  # noqa: F401

@@ -165,6 +165,81 @@ class SlateBatcher:
             yield SlateBatch(x, y, indices, slate_mask)
 
 
+class _SubsetDataset:
+    """A view over selected slates of a SlateDataset."""
+
+    def __init__(self, dataset, indices: np.ndarray):
+        self.dataset = dataset
+        self.indices = np.asarray(indices, dtype=np.int64)
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def __getitem__(self, idx: int):
+        return self.dataset[int(self.indices[idx])]
+
+    @property
+    def n_features(self) -> int:
+        return self.dataset.n_features
+
+
+class BucketedSlateBatcher:
+    """Validation batcher with per-bucket padded slate lengths.
+
+    The reference pads every validation slate to the split's longest
+    (reference: allrank/data/dataset_loading.py:185-194) — for WEB30K vali
+    that is L≈1300, so every eval batch pays the O(L²)+ loss cost at the
+    maximum shape. Here slates are sorted by length and split into
+    ``n_buckets`` roughly equal-count groups; each group pads to its own
+    maximum (rounded up to ``align`` for TPU tiling) and compiles one eval
+    program per distinct bucket shape. Metrics are padding-invariant, so
+    results match pad-to-longest.
+
+    Same multi-host contract as SlateBatcher: ``batch_size`` is global,
+    ``local_rows`` selects this process's rows of every global batch.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        n_buckets: int = 4,
+        local_rows: Optional[np.ndarray] = None,
+        num_workers: int = 0,
+        align: int = 8,
+    ):
+        lengths = np.array([len(dataset[i][1]) for i in range(len(dataset))])
+        order = np.argsort(lengths, kind="stable")
+        self.buckets = []  # (bucket_length, slate indices)
+        for group in np.array_split(order, max(1, int(n_buckets))):
+            if len(group) == 0:
+                continue
+            length = -(-int(lengths[group].max()) // align) * align
+            if self.buckets and self.buckets[-1][0] == length:
+                prev_len, prev_idx = self.buckets[-1]
+                self.buckets[-1] = (prev_len, np.concatenate([prev_idx, group]))
+            else:
+                self.buckets.append((length, group))
+        self._batchers = [
+            SlateBatcher(
+                _SubsetDataset(dataset, idxs), length, batch_size,
+                shuffle=False, local_rows=local_rows, num_workers=num_workers,
+            )
+            for length, idxs in self.buckets
+        ]
+
+    def set_epoch(self, epoch: int) -> None:
+        for b in self._batchers:
+            b.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        return sum(len(b) for b in self._batchers)
+
+    def __iter__(self) -> Iterator[SlateBatch]:
+        for b in self._batchers:
+            yield from b
+
+
 class DevicePrefetcher:
     """Wraps a batch iterator, moving batches to device(s) ahead of compute.
 

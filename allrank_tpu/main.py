@@ -21,7 +21,7 @@ import jax
 import numpy as np
 
 from allrank_tpu.config import Config
-from allrank_tpu.data.batching import SlateBatcher
+from allrank_tpu.data.batching import BucketedSlateBatcher, SlateBatcher
 from allrank_tpu.data.dataset import load_dataset
 from allrank_tpu.losses import get_loss
 from allrank_tpu.models.factory import init_params, make_model, num_params
@@ -122,11 +122,21 @@ def run(args: Namespace = None) -> dict:
         seed=config.data.shuffle_seed, local_rows=local_rows,
         num_workers=config.data.num_workers,
     )
-    val_batcher = SlateBatcher(
-        val_ds, val_len, global_batch, shuffle=False,
-        seed=config.data.shuffle_seed, local_rows=local_rows,
-        num_workers=config.data.num_workers,
-    )
+    if config.data.eval_buckets > 0:
+        val_batcher = BucketedSlateBatcher(
+            val_ds, global_batch, n_buckets=config.data.eval_buckets,
+            local_rows=local_rows, num_workers=config.data.num_workers,
+        )
+        logger.info(
+            "bucketed eval shapes: %s",
+            [(length, len(idx)) for length, idx in val_batcher.buckets],
+        )
+    else:
+        val_batcher = SlateBatcher(
+            val_ds, val_len, global_batch, shuffle=False,
+            seed=config.data.shuffle_seed, local_rows=local_rows,
+            num_workers=config.data.num_workers,
+        )
 
     mdef = make_model(config.model, n_features)
     params = init_params(jax.random.PRNGKey(42), mdef)

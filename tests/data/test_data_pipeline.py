@@ -206,3 +206,65 @@ class TestDummyData:
         expected = np.maximum(0, (((X + 1) / 2).mean(axis=-1) * 3).astype(np.int32))
         np.testing.assert_array_equal(y, expected)
         assert (np.bincount(qid) == 4).all()
+
+
+class TestBucketedBatcher:
+    def _heterogeneous_dataset(self, seed=0):
+        """Slates of widely varying lengths (3..40 docs)."""
+        rng = np.random.RandomState(seed)
+        Xs, ys, qids = [], [], []
+        for q in range(30):
+            n = int(rng.randint(3, 41))
+            Xs.append(rng.randn(n, 6).astype(np.float32))
+            ys.append(rng.randint(0, 3, n).astype(np.float32))
+            qids.extend([q] * n)
+        return SlateDataset(np.concatenate(Xs), np.concatenate(ys),
+                            np.array(qids))
+
+    def test_buckets_cover_dataset_once_with_smaller_shapes(self):
+        from allrank_tpu.data.batching import BucketedSlateBatcher
+
+        ds = self._heterogeneous_dataset()
+        bb = BucketedSlateBatcher(ds, batch_size=8, n_buckets=4)
+        lengths = sorted(length for length, _ in bb.buckets)
+        assert lengths[-1] >= ds.longest_query_length  # top bucket fits all
+        assert lengths[0] < ds.longest_query_length  # smaller shapes exist
+        n_seen = sum(int(b.slate_mask.sum()) for b in bb)
+        assert n_seen == len(ds)
+
+    def test_bucketed_metrics_match_pad_to_longest(self):
+        """Bucketing is metric-invariant (the padding-invariance property of
+        every metric, reference semantics: dataset_loading.py:185-194)."""
+        import jax
+
+        from allrank_tpu.config import FCConfig, ModelConfig, PostModelConfig
+        from allrank_tpu.data.batching import BucketedSlateBatcher
+        from allrank_tpu.losses import get_loss
+        from allrank_tpu.models.factory import init_params, make_model
+        from allrank_tpu.training.train_utils import (
+            compute_metrics,
+            make_eval_fns,
+        )
+
+        ds = self._heterogeneous_dataset()
+        mdef = make_model(
+            ModelConfig(
+                fc_model=FCConfig(sizes=[8], input_norm=False,
+                                  activation="ReLU", dropout=0.0),
+                transformer=None,
+                post_model=PostModelConfig(d_output=1),
+            ),
+            n_features=6,
+        )
+        params = init_params(jax.random.PRNGKey(0), mdef)
+        loss_fn, needs_rng = get_loss("listNet")
+        eval_step = make_eval_fns(mdef, loss_fn, {}, needs_rng,
+                                  {"ndcg": [5, 10]})
+        rng = jax.random.PRNGKey(1)
+
+        flat = SlateBatcher(ds, ds.longest_query_length, 8, shuffle=False)
+        bucketed = BucketedSlateBatcher(ds, batch_size=8, n_buckets=4)
+        m_flat, _ = compute_metrics(eval_step, params, flat, rng)
+        m_bucket, _ = compute_metrics(eval_step, params, bucketed, rng)
+        for k in m_flat:
+            assert abs(m_flat[k] - m_bucket[k]) < 1e-5, (k, m_flat, m_bucket)
