@@ -19,7 +19,10 @@ from allrank_tpu.losses.common import as_f32, padding_mask
 from allrank_tpu.metrics import dcg, identity_gain, position_discounts, pow2_gain
 from allrank_tpu.ops.soft_sort import (
     deterministic_neural_sort,
+    perturbed_scores,
+    sequence_parallel_mesh,
     sinkhorn_scaling,
+    soft_sort_contract_sp,
     stochastic_neural_sort,
 )
 
@@ -41,6 +44,17 @@ def _sinkhorn_over_samples(p_hat, mask, tol=1e-6, max_iter=50):
         p_hat.reshape(s * b, L, L), jnp.tile(mask, (s, 1)), tol=tol, max_iter=max_iter
     )
     return flat.reshape(s, b, L, L)
+
+
+def _flat_scores(y_pred, mask, stochastic, n_samples, beta, log_scores, rng):
+    """Scores/mask flattened sample-major for the sequence-parallel path:
+    ([S*B, L], [S*B, L], S)."""
+    if stochastic:
+        if rng is None:
+            raise ValueError("stochastic NeuralNDCG requires an rng key")
+        scores = perturbed_scores(y_pred, n_samples, rng, beta, log_scores)
+        return scores, jnp.tile(mask, (n_samples, 1)), n_samples
+    return y_pred, mask, 1
 
 
 def neuralNDCG(
@@ -68,18 +82,31 @@ def neuralNDCG(
 
     mask = padding_mask(y_true, padded_value_indicator)
 
-    p_hat = _p_hat(y_pred, mask, temperature, stochastic, n_samples, beta,
-                   log_scores, rng)
-    p_hat = _sinkhorn_over_samples(p_hat, mask)
-    pair_pad = mask[:, :, None] | mask[:, None, :]
-    p_hat = jnp.where(pair_pad[None, :, :, :], 0.0, p_hat)
-
     y_true_masked = jnp.where(mask, 0.0, y_true)
     gain_fn = pow2_gain if powered_relevancies else identity_gain
     gains = gain_fn(y_true_masked)
 
-    # [S, B, L]: soft-sorted gains
-    ground_truth = jnp.einsum("sbij,bj->sbi", p_hat, gains)
+    sp = sequence_parallel_mesh(slate_length)
+    if sp is not None:
+        # slate-axis sharded path: P_hat row blocks live per device and are
+        # contracted with the gains in place — no [L, L] replication
+        mesh, axis = sp
+        scores, mask_t, s_dim = _flat_scores(
+            y_pred, mask, stochastic, n_samples, beta, log_scores, rng
+        )
+        gains_t = jnp.tile(gains, (s_dim, 1))
+        ground_truth = soft_sort_contract_sp(
+            scores, mask_t, gains_t, temperature, mesh, axis
+        ).reshape(s_dim, -1, slate_length)
+    else:
+        p_hat = _p_hat(y_pred, mask, temperature, stochastic, n_samples, beta,
+                       log_scores, rng)
+        p_hat = _sinkhorn_over_samples(p_hat, mask)
+        pair_pad = mask[:, :, None] | mask[:, None, :]
+        p_hat = jnp.where(pair_pad[None, :, :, :], 0.0, p_hat)
+
+        # [S, B, L]: soft-sorted gains
+        ground_truth = jnp.einsum("sbij,bj->sbi", p_hat, gains)
     discounts = jnp.asarray(position_discounts(slate_length))
     discounted_gains = ground_truth * discounts
 
@@ -122,15 +149,28 @@ def neuralNDCG_transposed(
 
     mask = padding_mask(y_true, padded_value_indicator)
 
-    p_hat = _p_hat(y_pred, mask, temperature, stochastic, n_samples, beta,
-                   log_scores, rng)
-    p_hat = _sinkhorn_over_samples(p_hat, mask, tol=tol, max_iter=max_iter)
-
     discounts = jnp.asarray(position_discounts(slate_length))
     discounts = jnp.where(jnp.arange(slate_length) >= k_eff, 0.0, discounts)
 
-    # expected discount at original position j: sum_i P_hat[i, j] * discount_i
-    expected_discounts = jnp.einsum("sbij,i->sbj", p_hat, discounts)
+    sp = sequence_parallel_mesh(slate_length)
+    if sp is not None:
+        mesh, axis = sp
+        scores, mask_t, s_dim = _flat_scores(
+            y_pred, mask, stochastic, n_samples, beta, log_scores, rng
+        )
+        disc_t = jnp.broadcast_to(discounts[None, :], scores.shape)
+        # expected discount at original position j: Σ_i P_hat[i, j] discount_i
+        expected_discounts = soft_sort_contract_sp(
+            scores, mask_t, disc_t, temperature, mesh, axis,
+            max_iter=max_iter, tol=tol, transpose=True,
+        ).reshape(s_dim, -1, slate_length)
+    else:
+        p_hat = _p_hat(y_pred, mask, temperature, stochastic, n_samples, beta,
+                       log_scores, rng)
+        p_hat = _sinkhorn_over_samples(p_hat, mask, tol=tol, max_iter=max_iter)
+
+        # expected discount at original position j: Σ_i P_hat[i, j] discount_i
+        expected_discounts = jnp.einsum("sbij,i->sbj", p_hat, discounts)
 
     gain_fn = pow2_gain if powered_relevancies else identity_gain
     gains = gain_fn(jnp.where(mask, 0.0, y_true))

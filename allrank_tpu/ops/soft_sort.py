@@ -69,24 +69,25 @@ def sinkhorn_scaling(
         # single chip calls it directly.
         from allrank_tpu.ops.sinkhorn_pallas import sinkhorn_core_fused
 
+        from allrank_tpu.parallel.mesh import DATA_AXIS, ambient_mesh
+
         fused = None
-        if jax.device_count() == 1:
+        phys = ambient_mesh()
+        if (phys is not None and DATA_AXIS in phys.shape
+                and mat.shape[0] % phys.shape[DATA_AXIS] == 0):
+            # mesh context (any size, incl. 1-device): per-shard via
+            # shard_map — the same code path that runs on pods
+            from jax.sharding import PartitionSpec as P
+
+            fused = jax.shard_map(
+                lambda m: sinkhorn_core_fused(m, max_iter),
+                mesh=phys,
+                in_specs=P(DATA_AXIS),
+                out_specs=P(DATA_AXIS),
+                check_vma=False,  # pallas outputs carry no vma info
+            )
+        elif jax.device_count() == 1:
             fused = lambda m: sinkhorn_core_fused(m, max_iter)  # noqa: E731
-        else:
-            from allrank_tpu.parallel.mesh import DATA_AXIS, ambient_mesh
-
-            phys = ambient_mesh()
-            if (phys is not None and DATA_AXIS in phys.shape
-                    and mat.shape[0] % phys.shape[DATA_AXIS] == 0):
-                from jax.sharding import PartitionSpec as P
-
-                fused = jax.shard_map(
-                    lambda m: sinkhorn_core_fused(m, max_iter),
-                    mesh=phys,
-                    in_specs=P(DATA_AXIS),
-                    out_specs=P(DATA_AXIS),
-                    check_vma=False,  # pallas outputs carry no vma info
-                )
         if fused is not None:
             mat = fused(mat.astype(jnp.float32))
             if mask is not None:
@@ -171,6 +172,23 @@ def sample_gumbel(rng: jax.Array, shape, eps: float = 1e-10) -> jnp.ndarray:
     return -jnp.log(-jnp.log(u + eps) + eps)
 
 
+def perturbed_scores(
+    s: jnp.ndarray,
+    n_samples: int,
+    rng: jax.Array,
+    beta: float = 1.0,
+    log_scores: bool = True,
+    eps: float = 1e-10,
+) -> jnp.ndarray:
+    """Gumbel-perturbed score samples, flattened sample-major: [S*N, L]."""
+    batch, n = s.shape
+    s_positive = s + jnp.abs(jnp.min(s))
+    if log_scores:
+        s_positive = jnp.log(s_positive + eps)
+    gumbel = beta * sample_gumbel(rng, (n_samples, batch, n))
+    return (s_positive[None, :, :] + gumbel).reshape(n_samples * batch, n)
+
+
 def stochastic_neural_sort(
     s: jnp.ndarray,
     n_samples: int,
@@ -188,16 +206,143 @@ def stochastic_neural_sort(
     masks for N > 1; here masks are tiled sample-major to match the data.
     """
     batch, n = s.shape
-    s_positive = s + jnp.abs(jnp.min(s))
-    if log_scores:
-        s_positive = jnp.log(s_positive + eps)
-
-    gumbel = beta * sample_gumbel(rng, (n_samples, batch, n))
-    s_perturb = (s_positive[None, :, :] + gumbel).reshape(n_samples * batch, n)
+    s_perturb = perturbed_scores(s, n_samples, rng, beta, log_scores, eps)
     mask_tiled = jnp.tile(mask, (n_samples, 1))
 
     p_hat = deterministic_neural_sort(s_perturb, tau, mask_tiled)
     return p_hat.reshape(n_samples, batch, n, n)
+
+
+def sequence_parallel_mesh(slate_length: int):
+    """(mesh, axis) when the ambient mesh has a usable sequence axis for this
+    slate length, else None — the dispatch gate for the SP soft-sort path."""
+    from allrank_tpu.parallel.mesh import SEQUENCE_AXIS, ambient_mesh
+
+    phys = ambient_mesh()
+    if phys is None or SEQUENCE_AXIS not in phys.shape:
+        return None
+    size = phys.shape[SEQUENCE_AXIS]
+    if size <= 1 or slate_length % size:
+        return None
+    return phys, SEQUENCE_AXIS
+
+
+def soft_sort_contract_sp(
+    scores: jnp.ndarray,
+    mask: jnp.ndarray,
+    vec: jnp.ndarray,
+    tau: float,
+    mesh,
+    axis: str,
+    max_iter: int = 50,
+    tol: float = 1e-6,
+    transpose: bool = False,
+) -> jnp.ndarray:
+    """Fully sequence-parallel NeuralSort → Sinkhorn → vector contraction.
+
+    Computes ``P = sinkhorn(neural_sort(scores, tau))`` with the [N, L, L]
+    permutation relaxations sharded over their RANK-ROW axis across
+    ``mesh[axis]`` — the [L, L] matrix is never materialized on one device —
+    then immediately contracts with ``vec [N, L]``:
+
+      * transpose=False: out[n, i] = Σ_j P[n, i, j] · vec[n, j]
+        (soft-sorted gains, the normal NeuralNDCG contraction)
+      * transpose=True:  out[n, j] = Σ_i P[n, i, j] · vec[n, i]
+        (expected discounts, the transposed variant)
+
+    Per Sinkhorn iteration one psum of an O(L) vector crosses shards; the
+    neural-sort row-sum needs one more. Numerics mirror ``sinkhorn_scaling``'s
+    XLA path exactly (same tol-freeze), so values match the replicated path
+    to float error. This is the slate-axis "sequence parallelism" the
+    reference lacks (its long-slate answer is subsampling,
+    reference: allrank/data/dataset_loading.py:61-79).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n_shards = mesh.shape[axis]
+    n, length = scores.shape
+    if length % n_shards:
+        raise ValueError(f"slate length {length} not divisible by {n_shards}")
+    l_block = length // n_shards
+
+    def body(s, mask, vec):
+        shard = jax.lax.axis_index(axis)
+        r0 = shard * l_block
+        s_filled = jnp.where(mask, -1e8, s)
+        m_local = jax.lax.dynamic_slice_in_dim(mask, r0, l_block, axis=1)
+
+        # neural-sort row sums: B_j = Σ_k |s_j − s_k| over valid pairs,
+        # accumulated from each shard's k-chunk (one psum of [N, L])
+        s_local = jax.lax.dynamic_slice_in_dim(s_filled, r0, l_block, axis=1)
+        diffs = jnp.abs(s_filled[:, :, None] - s_local[:, None, :])  # [N, L, Lb]
+        diffs = jnp.where(mask[:, :, None] | m_local[:, None, :], 0.0, diffs)
+        row_sums = jax.lax.psum(jnp.sum(diffs, axis=2), axis)  # [N, L]
+
+        valid_n = (length - jnp.sum(mask, axis=1)).astype(jnp.float32)
+        j_rank = jnp.arange(1, l_block + 1, dtype=jnp.float32) + r0  # [Lb]
+        scaling = jnp.where(
+            j_rank[None, :] <= valid_n[:, None],
+            valid_n[:, None] + 1.0 - 2.0 * j_rank[None, :],
+            0.0,
+        )  # [N, Lb] — this shard's rank rows
+
+        s_zeroed = jnp.where(mask, 0.0, s)
+        p_max = scaling[:, :, None] * s_zeroed[:, None, :] - row_sums[:, None, :]
+        pair_pad = m_local[:, :, None] | mask[:, None, :]
+        both_pad = m_local[:, :, None] & mask[:, None, :]
+        p_max = jnp.where(pair_pad, -jnp.inf, p_max)
+        p_max = jnp.where(both_pad, 1.0, p_max)
+        p_hat = jax.nn.softmax(p_max / tau, axis=-1)  # [N, Lb, L] row block
+
+        # Sinkhorn pre-fill (reference loss_utils.py:27-29 semantics)
+        m0 = jnp.where(pair_pad, 0.0, p_hat)
+        m0 = jnp.where(both_pad, 1.0, m0)
+
+        a = jnp.ones((n, l_block), dtype=m0.dtype)  # row scalings (sharded)
+        b = jnp.ones((n, length), dtype=m0.dtype)   # col scalings (replicated)
+
+        def one_iteration(carry, _):
+            a, b, done, row_resid = carry
+            col = b * jax.lax.psum(jnp.einsum("nij,ni->nj", m0, a), axis)
+            resid = jnp.maximum(jnp.max(jnp.abs(col - 1.0)), row_resid)
+            done = jnp.logical_or(done, resid < tol)
+            b2 = jnp.where(done, b, b / jnp.maximum(col, DEFAULT_EPS))
+            row = a * jnp.einsum("nij,nj->ni", m0, b2)  # local rows
+            a2 = jnp.where(done, a, a / jnp.maximum(row, DEFAULT_EPS))
+            # cross-shard max via all_gather (pmax has no differentiation
+            # rule; the residual only drives the freeze flag)
+            local_max = jnp.max(jnp.abs(row / jnp.maximum(row, DEFAULT_EPS) - 1.0))
+            global_max = jnp.max(jax.lax.all_gather(local_max, axis))
+            new_row_resid = jnp.where(done, row_resid, global_max)
+            return (a2, b2, done, new_row_resid), None
+
+        (a, b, _, _), _ = jax.lax.scan(
+            one_iteration,
+            (a, b, jnp.asarray(False),
+             jnp.asarray(jnp.inf, dtype=m0.dtype)),
+            None,
+            length=max_iter,
+        )
+        p_scaled = a[:, :, None] * m0 * b[:, None, :]
+        p_scaled = jnp.where(pair_pad, 0.0, p_scaled)
+
+        if transpose:
+            vec_local = jax.lax.dynamic_slice_in_dim(vec, r0, l_block, axis=1)
+            return jax.lax.psum(
+                jnp.einsum("nij,ni->nj", p_scaled, vec_local), axis
+            )  # [N, L] replicated
+        return jnp.einsum("nij,nj->ni", p_scaled, vec)  # [N, Lb] sharded
+
+    out_spec = P() if transpose else P(None, axis)
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=out_spec,
+        # the scan carry mixes replicated (b, done) and axis-varying (a)
+        # values, which the vma checker rejects; semantics are validated by
+        # the value/grad parity tests
+        check_vma=False,
+    )(scores, mask, vec)
 
 
 def sinkhorn_scaling_sp(

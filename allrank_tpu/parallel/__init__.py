@@ -11,6 +11,7 @@ Everything rides ``jit`` + ``NamedSharding`` — XLA inserts the collectives.
 from allrank_tpu.parallel.mesh import (  # noqa: F401
     DATA_AXIS,
     MODEL_AXIS,
+    SEQUENCE_AXIS,
     batch_shardings,
     distributed_init,
     make_mesh,
