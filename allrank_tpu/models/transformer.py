@@ -93,8 +93,8 @@ def transformer_init(key: jax.Array, tdef: TransformerDef) -> dict:
 # kernel wins once the materialized [B, h, L, L] score/prob tensors dominate
 # HBM traffic. Set to 0 to force the kernel. Above MAX_LEN a single head's
 # [L, L] probability tile exceeds the VMEM budget and the K-tiled
-# online-softmax kernel (ops/attention_tiled.py) takes over — except when
-# attention dropout is active (the tiled kernel has no dropout; XLA runs).
+# online-softmax kernel (ops/attention_tiled.py) takes over; both kernels
+# apply attention dropout in-kernel via the on-core PRNG.
 FUSED_ATTENTION_MIN_LEN = 512
 FUSED_ATTENTION_MAX_LEN = 1224
 TILED_ATTENTION_MAX_LEN = 8192
@@ -109,26 +109,23 @@ def _fused_attention_runner(slate_length: int, batch: int, p_drop: float):
                     <= TILED_ATTENTION_MAX_LEN)):
         return None
     if slate_length > FUSED_ATTENTION_MAX_LEN:
-        if p_drop > 0.0:
-            return None  # no in-kernel dropout in the tiled variant
         from allrank_tpu.ops.attention_tiled import tiled_slate_attention
 
-        def base(q, k, v, key_mask, seed, p_drop):
-            return tiled_slate_attention(q, k, v, key_mask)
+        base = tiled_slate_attention
     else:
         from allrank_tpu.ops.attention_pallas import fused_slate_attention
 
         base = fused_slate_attention
-
-    if jax.device_count() == 1:
-        return base
 
     from allrank_tpu.parallel.mesh import DATA_AXIS, ambient_mesh
     from jax.sharding import PartitionSpec as P
 
     phys = ambient_mesh()
     if phys is None or DATA_AXIS not in phys.shape or batch % phys.shape[DATA_AXIS]:
-        return None
+        # no usable mesh context: direct call on a single chip (mesh
+        # contexts of any size, incl. 1-device, take the shard_map branch —
+        # the same code path that runs on pods)
+        return base if jax.device_count() == 1 else None
 
     def sharded(q, k, v, key_mask, seed, p_drop):
         def body(q, k, v, m, s):

@@ -16,9 +16,14 @@ KEY/VALUE tiles through the grid with the online-softmax recurrence, so the
               precomputed in XLA, so each tile's dS is local.
 
 Handles slate lengths to ~8k (VMEM: q + o + dq [L, d_k] rows + one
-[L, Tk] probability block). No dropout support — the train path uses it only
-when p_drop == 0; with dropout the XLA path runs (long-slate training with
-attention dropout is rare; extend with pltpu.prng per-tile replay if needed).
+[L, Tk] probability block).
+
+Attention-probability dropout (the reference trains with it, reference
+allrank/models/transformer.py:150-156) runs IN-KERNEL: each (program, k-tile)
+seeds the on-core PRNG from ``seed + flat_tile_id``, the keep-mask multiplies
+only the accumulator contribution (the softmax denominator stays undropped,
+so O = drop(P) @ V exactly), and the backward replays the identical mask from
+the same per-tile seed — nothing stochastic is stored.
 """
 
 from __future__ import annotations
@@ -34,6 +39,7 @@ from allrank_tpu.constants import NEG_INF_FILL
 
 F32 = jnp.float32
 TILE_K = 256
+_SEED_MIX = 1000003  # distinct PRNG stream per (program, k-tile)
 
 
 def _dot(a, b):
@@ -43,8 +49,19 @@ def _dot(a, b):
     )
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
-                m_scr, l_scr, acc_scr, *, scale: float, n_k: int):
+def _tile_keep(seed_ref, shape, p_drop: float):
+    """Per-(program, k-tile) deterministic keep mask — the backward replays
+    the exact mask by reseeding with the same flat tile id."""
+    flat_id = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0] + flat_id * _SEED_MIX)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    threshold = jnp.uint32(int(p_drop * (2**32 - 1)))
+    return bits >= threshold
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
+                m_scr, l_scr, acc_scr, *, scale: float, n_k: int,
+                p_drop: float):
     kt = pl.program_id(1)
 
     @pl.when(kt == 0)
@@ -65,20 +82,28 @@ def _fwd_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
     alpha = jnp.exp(m_prev - m_new)
     p = jnp.exp(s - m_new[:, None])               # [L, Tk]
+    # the denominator uses UNDROPPED sums: dropout acts on the normalized
+    # probabilities P = e/l, so O = drop(P) @ V = (keep . e) @ V / (l(1-p))
     l_new = l_scr[0] * alpha + jnp.sum(p, axis=1)
-    acc_scr[:] = acc_scr[:] * alpha[:, None] + _dot(p, v)
+    if p_drop > 0.0:
+        p_acc = jnp.where(_tile_keep(seed_ref, p.shape, p_drop), p, 0.0)
+    else:
+        p_acc = p
+    acc_scr[:] = acc_scr[:] * alpha[:, None] + _dot(p_acc, v)
     m_scr[0] = m_new
     l_scr[0] = l_new
 
     @pl.when(kt == n_k - 1)
     def _finalize():
         denom = jnp.maximum(l_scr[0], 1e-30)
-        o_ref[0] = acc_scr[:] / denom[:, None]
+        inv = 1.0 / (1.0 - p_drop) if p_drop > 0.0 else 1.0
+        o_ref[0] = acc_scr[:] * (inv / denom[:, None])
         lse_ref[0, 0] = m_scr[0] + jnp.log(denom)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
-                dq_ref, dk_ref, dv_ref, dq_scr, *, scale: float, n_k: int):
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
+                delta_ref, dq_ref, dk_ref, dv_ref, dq_scr, *, scale: float,
+                n_k: int, p_drop: float):
     kt = pl.program_id(1)
 
     @pl.when(kt == 0)
@@ -90,15 +115,23 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, delta_ref,
     v = v_ref[0]
     do = do_ref[0]
     lse = lse_ref[0, 0]     # [L]
-    delta = delta_ref[0, 0]  # [L] = rowsum(dO * O)
+    delta = delta_ref[0, 0]  # [L] = rowsum(dO * O) (holds with dropout too:
+    # O already carries the keep/scale factors)
     padded = mask_ref[0, 0]
 
     s = _dot(q, k.T) * scale
     s = jnp.where(padded[None, :] > 0.5, NEG_INF_FILL, s)
     p = jnp.exp(s - lse[:, None])                 # exact probs [L, Tk]
 
-    dv_ref[0] = _dot(p.T, do)
     dp = _dot(do, v.T)                            # [L, Tk]
+    if p_drop > 0.0:
+        keep = _tile_keep(seed_ref, p.shape, p_drop)
+        inv = 1.0 / (1.0 - p_drop)
+        p_dropped = jnp.where(keep, p * inv, 0.0)
+        dp = jnp.where(keep, dp * inv, 0.0)
+    else:
+        p_dropped = p
+    dv_ref[0] = _dot(p_dropped.T, do)
     ds = p * (dp - delta[:, None])
     ds = jnp.where(padded[None, :] > 0.5, 0.0, ds)
     dk_ref[0] = _dot(ds.T, q) * scale
@@ -128,58 +161,72 @@ def _flatten(q, k, v, key_mask):
     return flat(q), flat(k), flat(v), mask[:, None, :], b, h, l, lp, dk
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def tiled_slate_attention(q, k, v, key_mask):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def tiled_slate_attention(q, k, v, key_mask, seed=None, p_drop: float = 0.0):
     """Masked softmax attention, K-streamed for long slates.
 
-    q, k, v: [B, h, L, d_k]; key_mask: [B, L] (True/nonzero = padded).
-    Returns [B, h, L, d_k] fp32."""
-    out, _ = _fwd_call(q, k, v, key_mask)
+    q, k, v: [B, h, L, d_k]; key_mask: [B, L] (True/nonzero = padded);
+    seed: int32 scalar driving in-kernel attention dropout (ignored when
+    ``p_drop == 0``). Returns [B, h, L, d_k] fp32. Same signature as
+    ops.attention_pallas.fused_slate_attention."""
+    out, _ = _fwd_call(q, k, v, key_mask, seed, p_drop)
     return out
 
 
 def _specs(lp, dk):
-    row = pl.BlockSpec((1, lp, dk), lambda g, t: (g, 0, 0),
+    row = pl.BlockSpec((1, lp, dk), lambda g, t, *_: (g, 0, 0),
                        memory_space=pltpu.VMEM)
-    tile = pl.BlockSpec((1, TILE_K, dk), lambda g, t: (g, t, 0),
+    tile = pl.BlockSpec((1, TILE_K, dk), lambda g, t, *_: (g, t, 0),
                         memory_space=pltpu.VMEM)
-    mtile = pl.BlockSpec((1, 1, TILE_K), lambda g, t: (g, 0, t),
+    mtile = pl.BlockSpec((1, 1, TILE_K), lambda g, t, *_: (g, 0, t),
                          memory_space=pltpu.VMEM)
-    vec = pl.BlockSpec((1, 1, lp), lambda g, t: (g, 0, 0),
+    vec = pl.BlockSpec((1, 1, lp), lambda g, t, *_: (g, 0, 0),
                        memory_space=pltpu.VMEM)
     return row, tile, mtile, vec
 
 
-def _fwd_call(q, k, v, key_mask):
+def _seed_arr(seed):
+    if seed is None:
+        seed = 0
+    return jnp.asarray(seed, dtype=jnp.int32).reshape(1)
+
+
+def _fwd_call(q, k, v, key_mask, seed, p_drop):
     qf, kf, vf, mf, b, h, l, lp, dk = _flatten(q, k, v, key_mask)
     n_k = lp // TILE_K
     row, tile, mtile, vec = _specs(lp, dk)
-    kernel = functools.partial(_fwd_kernel, scale=1.0 / (dk ** 0.5), n_k=n_k)
-    o, lse = pl.pallas_call(
-        kernel,
+    kernel = functools.partial(
+        _fwd_kernel, scale=1.0 / (dk ** 0.5), n_k=n_k, p_drop=float(p_drop)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(b * h, n_k),
         in_specs=[row, tile, tile, mtile],
         out_specs=[row, vec],
-        out_shape=[
-            jax.ShapeDtypeStruct((b * h, lp, dk), F32),
-            jax.ShapeDtypeStruct((b * h, 1, lp), F32),
-        ],
         scratch_shapes=[
             pltpu.VMEM((1, lp), F32),
             pltpu.VMEM((1, lp), F32),
             pltpu.VMEM((lp, dk), F32),
         ],
-    )(qf, kf, vf, mf)
+    )
+    o, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, lp, dk), F32),
+            jax.ShapeDtypeStruct((b * h, 1, lp), F32),
+        ],
+    )(_seed_arr(seed), qf, kf, vf, mf)
     out = o[:, :l, :].reshape(b, h, l, dk)
-    return out, (q, k, v, key_mask, lse, out)
+    return out, (q, k, v, key_mask, seed, lse, out)
 
 
-def _attention_fwd(q, k, v, key_mask):
-    return _fwd_call(q, k, v, key_mask)
+def _attention_fwd(q, k, v, key_mask, seed, p_drop):
+    return _fwd_call(q, k, v, key_mask, seed, p_drop)
 
 
-def _attention_bwd(residuals, do):
-    q, k, v, key_mask, lse, out = residuals
+def _attention_bwd(p_drop, residuals, do):
+    q, k, v, key_mask, seed, lse, out = residuals
     qf, kf, vf, mf, b, h, l, lp, dk = _flatten(q, k, v, key_mask)
     n_k = lp // TILE_K
     dof = jnp.pad(do.astype(F32).reshape(b * h, l, dk),
@@ -188,24 +235,30 @@ def _attention_bwd(residuals, do):
     delta = jnp.sum(do.astype(F32) * out, axis=-1).reshape(b * h, 1, l)
     delta = jnp.pad(delta, ((0, 0), (0, 0), (0, lp - l)))
     row, tile, mtile, vec = _specs(lp, dk)
-    kernel = functools.partial(_bwd_kernel, scale=1.0 / (dk ** 0.5), n_k=n_k)
-    dq, dk_, dv = pl.pallas_call(
-        kernel,
+    kernel = functools.partial(
+        _bwd_kernel, scale=1.0 / (dk ** 0.5), n_k=n_k, p_drop=float(p_drop)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
         grid=(b * h, n_k),
         in_specs=[row, tile, tile, mtile, row, vec, vec],
         out_specs=[row, tile, tile],
+        scratch_shapes=[pltpu.VMEM((lp, dk), F32)],
+    )
+    dq, dk_, dv = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((b * h, lp, dk), F32),
             jax.ShapeDtypeStruct((b * h, lp, dk), F32),
             jax.ShapeDtypeStruct((b * h, lp, dk), F32),
         ],
-        scratch_shapes=[pltpu.VMEM((lp, dk), F32)],
-    )(qf, kf, vf, mf, dof, lse, delta)
+    )(_seed_arr(seed), qf, kf, vf, mf, dof, lse, delta)
 
     def unflat(x):
         return x[:, :l, :].reshape(b, h, l, dk)
 
-    return unflat(dq), unflat(dk_), unflat(dv), None
+    return unflat(dq), unflat(dk_), unflat(dv), None, None
 
 
 tiled_slate_attention.defvjp(_attention_fwd, _attention_bwd)

@@ -58,3 +58,35 @@ def test_single_tile_length():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(_ref(q, k, v, mask)), atol=2e-5
     )
+
+
+
+class TestTiledSeedSignature:
+    """The kernel shares fused_slate_attention's (q, k, v, mask, seed,
+    p_drop) signature; p_drop=0 ignores the seed. In-kernel dropout
+    numerics are validated on real hardware by tools/tpu_kernel_checks.py
+    (interpret mode's on-core PRNG is a zero-stub)."""
+
+    def test_seed_arg_accepted_and_ignored_without_dropout(self):
+        q, k, v, mask = _data(L=300)
+        with pltpu.force_tpu_interpret_mode():
+            a = tiled_slate_attention(q, k, v, mask, jnp.int32(1), 0.0)
+            b = tiled_slate_attention(q, k, v, mask, jnp.int32(2), 0.0)
+            c = tiled_slate_attention(q, k, v, mask)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(_ref(q, k, v, mask)),
+                                   atol=2e-5)
+
+    def test_grad_with_dropout_compiles_in_interpreter(self):
+        q, k, v, mask = _data(B=1, h=1, L=300)
+
+        def lf(q, k, v):
+            return jnp.sum(
+                tiled_slate_attention(q, k, v, mask, jnp.int32(5), 0.3)
+            )
+
+        with pltpu.force_tpu_interpret_mode():
+            grads = jax.grad(lf, argnums=(0, 1, 2))(q, k, v)
+        for g in grads:
+            assert np.isfinite(np.asarray(g)).all()
