@@ -15,8 +15,12 @@ allrank_tpu/native/libsvm_parser.so: allrank_tpu/native/libsvm_parser.cpp
 tests:
 	python -m pytest tests/ -q
 
+# flake8/mypy are not in this image and installs are disallowed; tools/lint.py
+# enforces a pyflakes-subset (syntax, E501, F401/F403/F811, whitespace) with
+# stdlib ast and FAILS the build on findings (reference ci enforces lint too,
+# reference Makefile:4-9)
 lint:
-	python -m flake8 --max-line-length 120 allrank_tpu tests || true
+	python tools/lint.py allrank_tpu tests tools
 
 wheel:
 	pip wheel --no-deps --no-build-isolation -w dist/ .

@@ -6,22 +6,33 @@ transformer (h=4, d_ff=512) + NDCGLoss2++ (the reference's headline config,
 reference: reproducibility/configs/contextaware_web30k/ndcgloss2pp.json) —
 batch 64, slate 240, 136 features, full forward+loss+backward+Adam per step.
 
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline", ...} with
+supplementary keys ``flops_per_step`` (XLA cost analysis) and ``mfu`` (the
+fraction of the chip's bf16 matmul peak the step sustains).
 ``vs_baseline`` compares against the reference implementation's measured
 throughput on this machine's CPU (the only hardware both can run on here;
 see tools/bench_torch_baseline.py + bench_baseline.json for provenance).
+
+``python bench.py --sweep 64,128,256,512`` additionally prints a batch-size
+sweep (slates/sec + MFU per B) to stderr, for the dispatch-bound vs
+compute-bound regime table in BENCHMARKS.md.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
+# bf16 matmul peak of the chip this bench runs on (TPU v5 lite / v5e:
+# 197 TFLOP/s bf16 per chip). MFU is reported against this number.
+PEAK_FLOPS_BF16 = 197e12
 
-def main() -> None:
+
+def _build(batch, slate, feats):
     import jax
 
     from allrank_tpu.data.batching import SlateBatch
@@ -31,7 +42,6 @@ def main() -> None:
     from allrank_tpu.training.train_utils import make_train_step
     from __graft_entry__ import _example_batch, _flagship_mdef
 
-    batch, slate, feats = 64, 240, 136
     mdef = _flagship_mdef(feats)
     params = init_params(jax.random.PRNGKey(0), mdef)
     optimizer = make_optimizer("Adam", {"lr": 1e-3})
@@ -46,8 +56,28 @@ def main() -> None:
     y[:, -40:] = -1.0  # realistic padding tail
     indices[:, -40:] = -1
     b = jax.device_put(SlateBatch(x, y, indices, np.ones(batch, dtype=bool)))
+    return step, params, opt_state, b
 
+
+def _step_flops(step, params, opt_state, rng, b):
+    """XLA's own FLOP estimate for the compiled train step (None if the
+    backend doesn't expose cost analysis)."""
+    try:
+        cost = step.lower(params, opt_state, rng, b).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) or None
+    except Exception:
+        return None
+
+
+def _measure(batch, slate=240, feats=136):
+    import jax
+
+    step, params, opt_state, b = _build(batch, slate, feats)
     rng = jax.random.PRNGKey(1)
+    flops = _step_flops(step, params, opt_state, rng, b)
+
     # warmup / compile (forced host readback: on tunneled TPU runtimes
     # block_until_ready returns before device completion — only a value
     # fetch truly synchronizes)
@@ -67,8 +97,26 @@ def main() -> None:
     n1, n2 = 10, 50
     t1, t2 = timed(n1), timed(n2)
     dt = max((t2 - t1) / (n2 - n1), 1e-9)
+    mfu = (flops / dt) / PEAK_FLOPS_BF16 if flops else None
+    return batch / dt, dt, flops, mfu
 
-    slates_per_sec = batch / dt
+
+def main() -> None:
+    sweep = None
+    if "--sweep" in sys.argv:
+        arg = sys.argv[sys.argv.index("--sweep") + 1]
+        sweep = [int(v) for v in arg.split(",")]
+
+    slates_per_sec, dt, flops, mfu = _measure(64)
+
+    if sweep:
+        print(f"{'B':>5} {'ms/step':>9} {'slates/s':>10} {'TFLOP/s':>8} "
+              f"{'MFU%':>6}", file=sys.stderr)
+        for bsz in sweep:
+            sps, sdt, sfl, smfu = _measure(bsz)
+            tflops = (sfl / sdt) / 1e12 if sfl else float("nan")
+            print(f"{bsz:>5} {sdt * 1e3:>9.2f} {sps:>10.0f} {tflops:>8.1f} "
+                  f"{(smfu or 0) * 100:>6.2f}", file=sys.stderr)
 
     baseline = None
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -82,6 +130,9 @@ def main() -> None:
         "value": round(slates_per_sec, 2),
         "unit": "slates/sec/chip",
         "vs_baseline": round(slates_per_sec / baseline, 2) if baseline else None,
+        "flops_per_step": flops,
+        "mfu": round(mfu, 4) if mfu else None,
+        "ms_per_step": round(dt * 1e3, 3),
     }))
 
 

@@ -4,7 +4,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from pytest import approx
 
 from allrank_tpu.config import Config
 from allrank_tpu.models import forward, init_params, make_model, num_params, score
