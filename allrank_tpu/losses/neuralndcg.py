@@ -18,6 +18,7 @@ from allrank_tpu.constants import DEFAULT_EPS, PADDED_Y_VALUE
 from allrank_tpu.losses.common import as_f32, padding_mask
 from allrank_tpu.metrics import dcg, identity_gain, position_discounts, pow2_gain
 from allrank_tpu.ops.soft_sort import (
+    batch_shard_hint,
     deterministic_neural_sort,
     perturbed_scores,
     sequence_parallel_mesh,
@@ -40,8 +41,9 @@ def _p_hat(y_pred, mask, temperature, stochastic, n_samples, beta, log_scores, r
 
 def _sinkhorn_over_samples(p_hat, mask, tol=1e-6, max_iter=50):
     s, b, L, _ = p_hat.shape
+    flat = batch_shard_hint(p_hat.reshape(s * b, L, L))
     flat = sinkhorn_scaling(
-        p_hat.reshape(s * b, L, L), jnp.tile(mask, (s, 1)), tol=tol, max_iter=max_iter
+        flat, jnp.tile(mask, (s, 1)), tol=tol, max_iter=max_iter
     )
     return flat.reshape(s, b, L, L)
 

@@ -28,6 +28,44 @@ import jax.numpy as jnp
 from allrank_tpu.constants import DEFAULT_EPS
 
 
+def _batch_shard_axes(phys, batch: int):
+    """The largest tuple of mesh axes whose size product divides ``batch``
+    (greedy data -> model -> sequence), or None when there is no mesh.
+    Size-1 axes are kept so 1-device meshes still exercise shard_map."""
+    if phys is None:
+        return None
+    from allrank_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS, SEQUENCE_AXIS
+
+    chosen = []
+    prod = 1
+    for a in (DATA_AXIS, MODEL_AXIS, SEQUENCE_AXIS):
+        if a in phys.shape and batch % (prod * phys.shape[a]) == 0:
+            chosen.append(a)
+            prod *= phys.shape[a]
+    return tuple(chosen) if chosen else None
+
+
+def batch_shard_hint(flat: jnp.ndarray) -> jnp.ndarray:
+    """Under jit with an ambient mesh, constrain the leading (flattened
+    sample*batch) axis of ``flat`` to shard over every divisible mesh axis —
+    the sample-folding that lets stochastic NeuralNDCG's n_samples dimension
+    ride otherwise-idle model/sequence shards. No-op outside tracing."""
+    import jax.core
+
+    from allrank_tpu.parallel.mesh import ambient_mesh
+
+    phys = ambient_mesh()
+    if phys is None or not isinstance(flat, jax.core.Tracer):
+        return flat
+    axes = _batch_shard_axes(phys, flat.shape[0])
+    if axes is None:
+        return flat
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = P(axes, *([None] * (flat.ndim - 1)))
+    return jax.lax.with_sharding_constraint(flat, NamedSharding(phys, spec))
+
+
 def sinkhorn_scaling(
     mat: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
@@ -69,21 +107,24 @@ def sinkhorn_scaling(
         # single chip calls it directly.
         from allrank_tpu.ops.sinkhorn_pallas import sinkhorn_core_fused
 
-        from allrank_tpu.parallel.mesh import DATA_AXIS, ambient_mesh
+        from allrank_tpu.parallel.mesh import ambient_mesh
 
         fused = None
         phys = ambient_mesh()
-        if (phys is not None and DATA_AXIS in phys.shape
-                and mat.shape[0] % phys.shape[DATA_AXIS] == 0):
+        axes = _batch_shard_axes(phys, mat.shape[0])
+        if axes is not None:
             # mesh context (any size, incl. 1-device): per-shard via
-            # shard_map — the same code path that runs on pods
+            # shard_map over every mesh axis that divides the flattened
+            # batch — for stochastic NeuralNDCG the [S*B] axis spreads the
+            # sample dimension across otherwise-idle model/sequence shards
+            # (each matrix's scaling is independent, so any split is exact)
             from jax.sharding import PartitionSpec as P
 
             fused = jax.shard_map(
                 lambda m: sinkhorn_core_fused(m, max_iter),
                 mesh=phys,
-                in_specs=P(DATA_AXIS),
-                out_specs=P(DATA_AXIS),
+                in_specs=P(axes),
+                out_specs=P(axes),
                 check_vma=False,  # pallas outputs carry no vma info
             )
         elif jax.device_count() == 1:
