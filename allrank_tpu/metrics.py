@@ -101,12 +101,14 @@ def mrr(
     y_true: jnp.ndarray,
     ats: Optional[Sequence[int]] = None,
     padding_indicator: int = PADDED_Y_VALUE,
+    strict: bool = False,
 ) -> jnp.ndarray:
     """Reciprocal rank of the first maximal true label under the predicted order.
 
-    Note: mirrors the reference quirk (reference metrics.py:108-109) where the
-    "no relevant docs" zeroing is decided by the *batch-global* sum of maximal
-    label values, not per-slate.
+    Note: by default mirrors the reference quirk (reference metrics.py:108-109)
+    where the "no relevant docs" zeroing is decided by the *batch-global* sum
+    of maximal label values, not per-slate — so it is only correct when the
+    whole batch has no relevant docs. ``strict=True`` zeroes per slate.
     """
     y_pred = jnp.asarray(y_pred, dtype=jnp.float32)
     y_true = jnp.asarray(y_true, dtype=jnp.float32)
@@ -125,6 +127,9 @@ def mrr(
     within_at = (positions < ats_arr).astype(jnp.float32)
 
     result = 1.0 / (positions + 1.0)
+    if strict:
+        result = jnp.where(values[:, None] == 0.0, 0.0, result)
+        return result * within_at
     batch_has_no_relevant = jnp.sum(values) == 0.0
     result = jnp.where(batch_has_no_relevant, 0.0, result)
     return result * within_at

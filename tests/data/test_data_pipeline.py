@@ -268,3 +268,20 @@ class TestBucketedBatcher:
         m_bucket, _ = compute_metrics(eval_step, params, bucketed, rng)
         for k in m_flat:
             assert abs(m_flat[k] - m_bucket[k]) < 1e-5, (k, m_flat, m_bucket)
+
+    def test_bucketed_multiprocess_rows_cover_dataset_once(self):
+        """Bucketed eval preserves the multi-host local-rows contract."""
+        from allrank_tpu.data.batching import BucketedSlateBatcher
+
+        ds = self._heterogeneous_dataset()
+        G, P = 8, 4
+        rows_per = G // P
+        seen = 0
+        ref = list(BucketedSlateBatcher(ds, batch_size=G, n_buckets=3))
+        for p in range(P):
+            lr = np.arange(p * rows_per, (p + 1) * rows_per)
+            bb = BucketedSlateBatcher(ds, batch_size=G, n_buckets=3,
+                                      local_rows=lr)
+            assert len(bb) == len(ref)
+            seen += sum(int(b.slate_mask.sum()) for b in bb)
+        assert seen == len(ds)

@@ -102,3 +102,20 @@ class TestMrr:
 
     def test_padded_input_2(self):
         assert mrr_wrap([[0.5, 0.2, 1.0]], [[0.0, 1.0, PADDED_Y_VALUE]])[0][0] == 0.5
+
+
+def test_mrr_strict_zeroes_per_slate():
+    """strict=True handles mixed batches correctly (the default replicates
+    the reference's batch-global quirk, metrics.py:108-109)."""
+    import jax.numpy as jnp
+
+    from allrank_tpu.metrics import mrr
+
+    y_pred = jnp.asarray([[0.9, 0.1, 0.2], [0.3, 0.8, 0.1]])
+    y_true = jnp.asarray([[0.0, 0.0, 0.0], [0.0, 1.0, 0.0]])  # slate 0: blank
+    quirky = mrr(y_pred, y_true, ats=[3])
+    strict = mrr(y_pred, y_true, ats=[3], strict=True)
+    # quirk: batch has SOME relevant docs -> blank slate 0 still scores 1.0
+    assert float(quirky[0, 0]) == 1.0
+    assert float(strict[0, 0]) == 0.0
+    assert float(strict[1, 0]) == 1.0  # best doc ranked first

@@ -38,8 +38,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 N_FEATURES = 136
 # WEB30K label marginals (fractions of docs per grade 0..4)
 LABEL_MARGINALS = np.array([0.514, 0.325, 0.134, 0.019, 0.008])
-# the 13 features normalize_features.py negates (its FEATURES_NEGATIVE list)
-FEATURES_NEGATIVE = [6, 7, 8, 9, 10, 96, 97, 98, 99, 100, 121, 122, 124]
+# the 13 features normalize_features.py negates — 0-based indices matching
+# its FEATURES_NEGATIVE list (reference normalize_features.py:12)
+FEATURES_NEGATIVE_0BASED = [110, 111, 112, 113, 114, 115, 116, 117, 118, 119,
+                            120, 123, 124]
 MAX_DOCS = 1308  # longest WEB30K vali slate
 LABEL_NOISE = 0.9  # latent->label noise; bounds achievable NDCG below 1.0
 
@@ -96,7 +98,7 @@ def _features_from_latent(u, kinds, signal, scale, rng):
         else:
             vals = base
         vals = vals * scale[f]
-        if (f + 1) in FEATURES_NEGATIVE:
+        if f in FEATURES_NEGATIVE_0BASED:
             vals = -np.abs(vals)
         X[:, f] = vals
     return X
