@@ -7,9 +7,12 @@ CXXFLAGS ?= -O3 -std=c++17 -shared -fPIC -pthread -Wall
 
 all: native
 
-native: allrank_tpu/native/libsvm_parser.so
+native: allrank_tpu/native/libsvm_parser.so allrank_tpu/native/slate_assembler.so
 
 allrank_tpu/native/libsvm_parser.so: allrank_tpu/native/libsvm_parser.cpp
+	$(CXX) $(CXXFLAGS) -o $@ $<
+
+allrank_tpu/native/slate_assembler.so: allrank_tpu/native/slate_assembler.cpp
 	$(CXX) $(CXXFLAGS) -o $@ $<
 
 tests:

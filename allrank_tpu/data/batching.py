@@ -129,13 +129,26 @@ class SlateBatcher:
             self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
         return self._pool
 
+    def _native_buffers(self):
+        """(X, y, offsets, index_map) when the C++ assembler can run, else
+        None. The native path is the default when built (GIL-free threads,
+        ~10x the Python row loop); ALLRANK_TPU_NO_NATIVE_ASSEMBLY=1 or a
+        dataset without flat buffers falls back to Python."""
+        from allrank_tpu.data.native import _load_assembler
+
+        if _load_assembler() is None:
+            return None
+        get = getattr(self.dataset, "flat_slate_buffers", None)
+        return get() if get is not None else None
+
     def __iter__(self) -> Iterator[SlateBatch]:
         order = self._order()
         G, L = self.batch_size, self.slate_length
         n_features = self.dataset.n_features
         local_rows = self.local_rows
         n_local = len(local_rows)
-        pool = self._get_pool()
+        native = self._native_buffers()
+        pool = self._get_pool() if native is None else None
 
         arange_L = np.arange(L, dtype=np.int32)
         for start in range(0, len(order), G):
@@ -151,13 +164,32 @@ class SlateBatcher:
                 for row, gpos in enumerate(local_rows)
                 if gpos < len(chunk)
             ]
-            if pool is not None:
-                list(
-                    pool.map(
-                        lambda args: self._fill_row(bufs, args[0], args[1], arange_L),
-                        todo,
-                    )
+            if native is not None and todo:
+                from allrank_tpu.data.native import assemble_rows_native
+
+                flat_X, flat_y, offsets, index_map = native
+                rows = np.array([r for r, _ in todo], dtype=np.int64)
+                local = np.array([i for _, i in todo], dtype=np.int64)
+                slates = local if index_map is None else index_map[local]
+                assemble_rows_native(
+                    flat_X, flat_y, offsets, rows, slates, slates,
+                    n_features, L,
+                    (self.seed * 1000003 + self.epoch) & 0xFFFFFFFFFFFFFFFF,
+                    self.num_workers, x, y, indices, slate_mask,
                 )
+                yield SlateBatch(x, y, indices, slate_mask)
+                continue
+            if pool is not None and len(todo) > self.num_workers:
+                # chunked dispatch: one task per worker (per-row tasks drown
+                # in executor overhead at ~50us of work per row)
+                def fill_span(span):
+                    for row, ds_idx in span:
+                        self._fill_row(bufs, row, ds_idx, arange_L)
+
+                step_size = -(-len(todo) // self.num_workers)
+                spans = [todo[i : i + step_size]
+                         for i in range(0, len(todo), step_size)]
+                list(pool.map(fill_span, spans))
             else:
                 for row, ds_idx in todo:
                     self._fill_row(bufs, row, ds_idx, arange_L)
@@ -181,6 +213,14 @@ class _SubsetDataset:
     @property
     def n_features(self) -> int:
         return self.dataset.n_features
+
+    def flat_slate_buffers(self):
+        base = getattr(self.dataset, "flat_slate_buffers", lambda: None)()
+        if base is None:
+            return None
+        X, y, offsets, index_map = base
+        mapped = self.indices if index_map is None else index_map[self.indices]
+        return X, y, offsets, mapped
 
 
 class BucketedSlateBatcher:

@@ -86,3 +86,60 @@ def parse_svmlight_native(
     if rc != 0:
         return None
     return X, y, qids
+
+
+_ASM = None
+_ASM_TRIED = False
+
+
+def _load_assembler():
+    global _ASM, _ASM_TRIED
+    if _ASM_TRIED:
+        return _ASM
+    _ASM_TRIED = True
+    if os.environ.get("ALLRANK_TPU_NO_NATIVE_ASSEMBLY"):
+        return None
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, "native", "slate_assembler.so")
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        i64p = np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS")
+        lib.assemble_rows.restype = ctypes.c_int64
+        lib.assemble_rows.argtypes = [
+            np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS"),
+            i64p, i64p, i64p, i64p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_uint64, ctypes.c_int64,
+            np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS"),
+        ]
+        _ASM = lib
+    except OSError:
+        _ASM = None
+    return _ASM
+
+
+def assemble_rows_native(
+    X, y, offsets, rows, slates, rng_ids, n_features, slate_length,
+    seed_base, n_threads, out_x, out_y, out_idx, out_mask,
+) -> bool:
+    """Fill batch rows with the C++ assembler (native/slate_assembler.cpp).
+
+    Buffers must arrive pre-initialized (zeros / padded values). Returns
+    False when the shared library is unavailable (caller falls back to the
+    Python row loop)."""
+    lib = _load_assembler()
+    if lib is None:
+        return False
+    lib.assemble_rows(
+        X, y, offsets, rows, slates, rng_ids,
+        len(rows), n_features, slate_length,
+        seed_base & 0xFFFFFFFFFFFFFFFF, max(1, int(n_threads)),
+        out_x, out_y, out_idx, out_mask.view(np.uint8),
+    )
+    return True

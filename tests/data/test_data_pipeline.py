@@ -285,3 +285,70 @@ class TestBucketedBatcher:
             assert len(bb) == len(ref)
             seen += sum(int(b.slate_mask.sum()) for b in bb)
         assert seen == len(ds)
+
+
+class TestNativeAssembler:
+    def _lib(self):
+        from allrank_tpu.data.native import _load_assembler
+
+        lib = _load_assembler()
+        if lib is None:
+            pytest.skip("slate_assembler.so not built")
+        return lib
+
+    def test_relevance_guard_holds(self):
+        """Subsampled slates with >=1 relevant doc keep >=1 after sampling
+        (reference guard: dataset_loading.py:61-79) — native path."""
+        self._lib()
+        n_slates, docs = 40, 30
+        X = np.random.RandomState(0).randn(n_slates * docs, 4).astype(np.float32)
+        y = np.zeros(n_slates * docs, dtype=np.float32)
+        y[::docs] = 1.0  # exactly one relevant doc per slate
+        qids = np.repeat(np.arange(n_slates), docs)
+        ds = SlateDataset(X, y, qids)
+        for epoch in range(5):
+            b = SlateBatcher(ds, 5, n_slates, shuffle=False, seed=epoch)
+            b.set_epoch(epoch)
+            batch = next(iter(b))
+            per_slate = (batch.y == 1.0).sum(axis=1)
+            assert (per_slate >= 1).all()
+
+    def test_native_matches_python_fallback_structure(self):
+        """Native and Python paths agree on everything non-random: padded
+        slates bitwise, sampled slates as (index, y, x) consistent draws."""
+        import os
+
+        self._lib()
+        rng = np.random.RandomState(1)
+        docs = [3, 10, 7, 5]  # L=7: pad, subsample, permute, pad
+        X = rng.randn(sum(docs), 3).astype(np.float32)
+        y = rng.randint(0, 3, sum(docs)).astype(np.float32)
+        qids = np.repeat(np.arange(len(docs)), docs)
+        ds = SlateDataset(X, y, qids)
+
+        native_b = next(iter(SlateBatcher(ds, 7, 4, shuffle=False, seed=9)))
+        os.environ["ALLRANK_TPU_NO_NATIVE_ASSEMBLY"] = "1"
+        try:
+            import allrank_tpu.data.native as native_mod
+
+            native_mod._ASM_TRIED = False
+            py_b = next(iter(SlateBatcher(ds, 7, 4, shuffle=False, seed=9)))
+        finally:
+            del os.environ["ALLRANK_TPU_NO_NATIVE_ASSEMBLY"]
+            native_mod._ASM_TRIED = False
+
+        # padded slates (0 and 3) are deterministic -> bitwise equal
+        for row in (0, 3):
+            np.testing.assert_array_equal(native_b.x[row], py_b.x[row])
+            np.testing.assert_array_equal(native_b.y[row], py_b.y[row])
+            np.testing.assert_array_equal(native_b.indices[row], py_b.indices[row])
+        # sampled slates: draws differ (different RNGs) but must be
+        # self-consistent: y/x equal the gather of the original by indices
+        for b in (native_b, py_b):
+            for row in (1, 2):
+                idx = b.indices[row]
+                sx, sy = ds[row]
+                np.testing.assert_array_equal(b.y[row], sy[idx])
+                np.testing.assert_array_equal(b.x[row], sx[idx])
+        # permute slate (row 2, n == L): all original ranks present
+        assert sorted(native_b.indices[2].tolist()) == list(range(7))

@@ -117,15 +117,21 @@ def check_tiled_dropout_grads() -> None:
     same dropped attention in XLA, compare all three input gradients."""
     from allrank_tpu.ops.attention_tiled import tiled_slate_attention
 
-    q, k, v, mask = _tiled_data(B=1, h=1)
+    q, k, v, mask = _tiled_data(B=1, h=1, L=1408)  # L % dk == 0 for probes
     L, dk = q.shape[2], q.shape[3]
     seed = jnp.int32(11)
     p_drop = 0.5
 
-    eye = jnp.broadcast_to(jnp.eye(L, dtype=q.dtype)[None, None], (1, 1, L, L))
-    p_real = np.asarray(jax.jit(
-        tiled_slate_attention, static_argnums=(5,)
-    )(q, k, eye, mask, seed, p_drop))  # [1, 1, L, L] = drop(P)
+    # extract drop(P) column-block by column-block: v = identity columns
+    # chunked to the kernel's head dim (the keep mask depends only on seed
+    # and shapes, not on v, so every probe call replays the same mask)
+    att = jax.jit(tiled_slate_attention, static_argnums=(5,))
+    eye = np.eye(L, dtype=np.float32)
+    blocks = []
+    for j0 in range(0, L, dk):
+        vb = jnp.asarray(eye[:, j0 : j0 + dk][None, None])  # [1, 1, L, dk]
+        blocks.append(np.asarray(att(q, k, vb, mask, seed, p_drop)))
+    p_real = np.concatenate(blocks, axis=-1)  # [1, 1, L, L] = drop(P)
     keep = jnp.asarray(p_real > 0.0)
 
     def xla_loss(q, k, v):
