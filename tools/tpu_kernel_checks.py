@@ -145,7 +145,10 @@ def check_tiled_dropout_grads() -> None:
         return jnp.sum(jnp.sin(tiled_slate_attention(q, k, v, mask, seed, p_drop)))
 
     gk_ = jax.jit(jax.grad(ker_loss, argnums=(0, 1, 2)))(q, k, v)
-    gx = jax.jit(jax.grad(xla_loss, argnums=(0, 1, 2)))(q, k, v)
+    # the kernel computes fp32 dots; hold the XLA reference to the same
+    # precision (TPU default is reduced-precision matmul)
+    with jax.default_matmul_precision("highest"):
+        gx = jax.jit(jax.grad(xla_loss, argnums=(0, 1, 2)))(q, k, v)
     errs = [float(jnp.abs(a - b).max()) for a, b in zip(gk_, gx)]
     check("tiled dropout grads match XLA w/ replayed mask",
           all(e < 3e-4 for e in errs),
