@@ -14,7 +14,9 @@ def _data(B=2, h=2, L=300, dk=16, seed=0):
     q = jnp.asarray(rng.randn(B, h, L, dk).astype(np.float32))
     k = jnp.asarray(rng.randn(B, h, L, dk).astype(np.float32))
     v = jnp.asarray(rng.randn(B, h, L, dk).astype(np.float32))
-    mask = jnp.asarray(np.arange(L)[None, :] >= np.array([L, 120])[:, None])
+    mask = jnp.asarray(
+        np.arange(L)[None, :] >= np.tile([L, 120], B)[:B, None]
+    )
     return q, k, v, mask
 
 
@@ -90,3 +92,52 @@ class TestTiledSeedSignature:
             grads = jax.grad(lf, argnums=(0, 1, 2))(q, k, v)
         for g in grads:
             assert np.isfinite(np.asarray(g)).all()
+
+    def test_dropout_backward_math_with_deterministic_mask(self, monkeypatch):
+        """Isolate the dropout flow from the PRNG: patch the tile keep-mask
+        to a deterministic checkerboard (same function in fwd and bwd, as
+        the PRNG replay guarantees on hardware) and compare value+grads
+        against an XLA rebuild using the identical mask."""
+        import allrank_tpu.ops.attention_tiled as T
+
+        L = 300
+        q, k, v, mask = _data(B=1, h=1, L=L)
+        p_drop = 0.5
+        inv = 1.0 / (1.0 - p_drop)
+
+        def fake_keep(seed_ref, shape, p):
+            from jax.experimental import pallas as pl
+
+            kt = pl.program_id(1)
+            rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + kt * T.TILE_K
+            return ((rows + cols) % 2) == 0
+
+        monkeypatch.setattr(T, "_tile_keep", fake_keep)
+
+        def ker_loss(q, k, v):
+            return jnp.sum(jnp.sin(
+                T.tiled_slate_attention(q, k, v, mask, jnp.int32(0), p_drop)
+            ))
+
+        def xla_loss(q, k, v):
+            dk = q.shape[-1]
+            s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(dk)
+            s = jnp.where(mask[:, None, None, :], NEG_INF_FILL, s)
+            p = jax.nn.softmax(s, -1)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (L, L), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)
+            keep = ((rows + cols) % 2 == 0)[None, None]
+            p = jnp.where(keep, p * inv, 0.0)
+            return jnp.sum(jnp.sin(jnp.einsum("bhqk,bhkd->bhqd", p, v)))
+
+        from jax.experimental.pallas import tpu as pltpu
+
+        with pltpu.force_tpu_interpret_mode():
+            kv = float(ker_loss(q, k, v))
+            kg = jax.grad(ker_loss, argnums=(0, 1, 2))(q, k, v)
+        xv = float(xla_loss(q, k, v))
+        xg = jax.grad(xla_loss, argnums=(0, 1, 2))(q, k, v)
+        np.testing.assert_allclose(kv, xv, rtol=1e-5)
+        for a, b in zip(kg, xg):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
