@@ -51,7 +51,11 @@ def _dot_t(a, b):
 
 
 def _probs(q, k, padded, scale):
-    """[h, L, dk] x [h, L, dk] + [L] key-padded flags -> [h, L, L] softmax."""
+    """[h, L, dk] x [h, L, dk] + [L] key-padded flags -> [h, L, L] softmax.
+
+    Operands stay in their storage dtype (bf16 tower math rides the MXU at
+    full rate); scores/softmax accumulate in fp32 via preferred_element_type.
+    """
     scores = _dot(q, jnp.swapaxes(k, 1, 2)) * scale
     scores = jnp.where(padded[None, None, :] > 0.5, NEG_INF_FILL, scores)
     m = jnp.max(scores, axis=-1, keepdims=True)
@@ -79,7 +83,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
         pltpu.prng_seed(_program_seed(seed_ref))
         keep = _dropout_keep(p.shape, p_drop)
         p = jnp.where(keep, p / (1.0 - p_drop), 0.0)
-    o_ref[0] = _dot(p, v)
+    o_ref[0] = _dot(p.astype(v.dtype), v).astype(o_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
@@ -96,14 +100,15 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
     else:
         p_dropped = p
 
-    dv_ref[0] = _dot_t(p_dropped, do)
+    dv_ref[0] = _dot_t(p_dropped.astype(do.dtype), do).astype(dv_ref.dtype)
     dp = _dot(do, jnp.swapaxes(v, 1, 2))
     if p_drop > 0.0:
         dp = jnp.where(keep, dp * inv, 0.0)
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
     ds = jnp.where(padded[None, None, :] > 0.5, 0.0, ds)
-    dq_ref[0] = _dot(ds, k) * scale
-    dk_ref[0] = _dot_t(ds, q) * scale
+    ds = ds.astype(k.dtype)
+    dq_ref[0] = (_dot(ds, k) * scale).astype(dq_ref.dtype)
+    dk_ref[0] = (_dot_t(ds, q) * scale).astype(dk_ref.dtype)
 
 
 def _head_block(h: int, l: int) -> int:
@@ -129,17 +134,19 @@ def _specs(h, l, dk, hb):
 def fused_slate_attention(q, k, v, key_mask, seed, p_drop: float = 0.0):
     """Masked softmax attention over slates, fused on TPU.
 
-    q, k, v: [B, h, L, d_k] float32; key_mask: [B, L] (True/nonzero = padded
-    document); seed: int32 scalar array driving in-kernel dropout. Returns
-    [B, h, L, d_k] fp32. ``p_drop`` (static) applies dropout to the attention
-    probabilities during training.
+    q, k, v: [B, h, L, d_k] float32 or bfloat16 (bf16 operands keep the MXU
+    at full rate; scores/softmax accumulate fp32); key_mask: [B, L]
+    (True/nonzero = padded document); seed: int32 scalar array driving
+    in-kernel dropout. Returns [B, h, L, d_k] in the input dtype. ``p_drop``
+    (static) applies dropout to the attention probabilities during training.
     """
     return _fwd_call(q, k, v, key_mask, p_drop, seed)
 
 
 def _prep(q, k, v, key_mask):
-    return (q.astype(F32), k.astype(F32), v.astype(F32),
-            key_mask.astype(F32)[:, None, :])  # [B, 1, L] for tiling rules
+    # q/k/v keep their storage dtype (bf16 tower math runs the MXU at full
+    # rate; fp32 accumulation happens inside the dots)
+    return (q, k, v, key_mask.astype(F32)[:, None, :])  # mask [B, 1, L]
 
 
 def _fwd_call(q, k, v, key_mask, p_drop, seed):
@@ -157,7 +164,7 @@ def _fwd_call(q, k, v, key_mask, p_drop, seed):
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, l, dk), F32),
+        out_shape=jax.ShapeDtypeStruct((b, h, l, dk), q.dtype),
     )(jnp.asarray(seed, dtype=jnp.int32).reshape(1), *_prep(q, k, v, key_mask))
 
 
@@ -182,9 +189,13 @@ def _attention_bwd(p_drop, residuals, do):
     dq, dk_, dv = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((b, h, l, dk), F32)] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, l, dk), q.dtype),
+            jax.ShapeDtypeStruct((b, h, l, dk), k.dtype),
+            jax.ShapeDtypeStruct((b, h, l, dk), v.dtype),
+        ],
     )(jnp.asarray(seed, dtype=jnp.int32).reshape(1), *_prep(q, k, v, key_mask),
-      do.astype(F32))
+      do.astype(q.dtype))
     return dq, dk_, dv, None, None
 
 

@@ -89,7 +89,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
         p_acc = jnp.where(_tile_keep(seed_ref, p.shape, p_drop), p, 0.0)
     else:
         p_acc = p
-    acc_scr[:] = acc_scr[:] * alpha[:, None] + _dot(p_acc, v)
+    acc_scr[:] = acc_scr[:] * alpha[:, None] + _dot(p_acc.astype(v.dtype), v)
     m_scr[0] = m_new
     l_scr[0] = l_new
 
@@ -97,7 +97,7 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref,
     def _finalize():
         denom = jnp.maximum(l_scr[0], 1e-30)
         inv = 1.0 / (1.0 - p_drop) if p_drop > 0.0 else 1.0
-        o_ref[0] = acc_scr[:] * (inv / denom[:, None])
+        o_ref[0] = (acc_scr[:] * (inv / denom[:, None])).astype(o_ref.dtype)
         lse_ref[0, 0] = m_scr[0] + jnp.log(denom)
 
 
@@ -131,15 +131,16 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
         dp = jnp.where(keep, dp * inv, 0.0)
     else:
         p_dropped = p
-    dv_ref[0] = _dot(p_dropped.T, do)
+    dv_ref[0] = _dot(p_dropped.astype(do.dtype).T, do).astype(dv_ref.dtype)
     ds = p * (dp - delta[:, None])
     ds = jnp.where(padded[None, :] > 0.5, 0.0, ds)
-    dk_ref[0] = _dot(ds.T, q) * scale
+    ds = ds.astype(q.dtype)
+    dk_ref[0] = (_dot(ds.T, q) * scale).astype(dk_ref.dtype)
     dq_scr[:] = dq_scr[:] + _dot(ds, k) * scale
 
     @pl.when(kt == n_k - 1)
     def _done():
-        dq_ref[0] = dq_scr[:]
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
 
 
 def _pad_len(l: int) -> int:
@@ -147,13 +148,14 @@ def _pad_len(l: int) -> int:
 
 
 def _flatten(q, k, v, key_mask):
-    """[B, h, L, dk] -> [B*h, Lp, dk] fp32 with K-side padding masked out."""
+    """[B, h, L, dk] -> [B*h, Lp, dk] (storage dtype kept — bf16 operands
+    ride the MXU at full rate) with K-side padding masked out."""
     b, h, l, dk = q.shape
     lp = _pad_len(l)
     pad = lp - l
 
     def flat(x):
-        x = x.reshape(b * h, l, dk).astype(F32)
+        x = x.reshape(b * h, l, dk)
         return jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
 
     mask = jnp.repeat(key_mask.astype(F32), h, axis=0)  # [B*h, L]
@@ -165,9 +167,10 @@ def _flatten(q, k, v, key_mask):
 def tiled_slate_attention(q, k, v, key_mask, seed=None, p_drop: float = 0.0):
     """Masked softmax attention, K-streamed for long slates.
 
-    q, k, v: [B, h, L, d_k]; key_mask: [B, L] (True/nonzero = padded);
-    seed: int32 scalar driving in-kernel attention dropout (ignored when
-    ``p_drop == 0``). Returns [B, h, L, d_k] fp32. Same signature as
+    q, k, v: [B, h, L, d_k] float32 or bfloat16 (fp32 accumulation either
+    way); key_mask: [B, L] (True/nonzero = padded); seed: int32 scalar
+    driving in-kernel attention dropout (ignored when ``p_drop == 0``).
+    Returns [B, h, L, d_k] in the input dtype. Same signature as
     ops.attention_pallas.fused_slate_attention."""
     out, _ = _fwd_call(q, k, v, key_mask, seed, p_drop)
     return out
@@ -213,7 +216,7 @@ def _fwd_call(q, k, v, key_mask, seed, p_drop):
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b * h, lp, dk), F32),
+            jax.ShapeDtypeStruct((b * h, lp, dk), q.dtype),
             jax.ShapeDtypeStruct((b * h, 1, lp), F32),
         ],
     )(_seed_arr(seed), qf, kf, vf, mf)
@@ -229,10 +232,10 @@ def _attention_bwd(p_drop, residuals, do):
     q, k, v, key_mask, seed, lse, out = residuals
     qf, kf, vf, mf, b, h, l, lp, dk = _flatten(q, k, v, key_mask)
     n_k = lp // TILE_K
-    dof = jnp.pad(do.astype(F32).reshape(b * h, l, dk),
+    dof = jnp.pad(do.astype(q.dtype).reshape(b * h, l, dk),
                   ((0, 0), (0, lp - l), (0, 0)))
     # softmax-backward row term: D_i = rowsum(dP (.) P) = rowsum(dO (.) O)
-    delta = jnp.sum(do.astype(F32) * out, axis=-1).reshape(b * h, 1, l)
+    delta = jnp.sum(do.astype(F32) * out.astype(F32), axis=-1).reshape(b * h, 1, l)
     delta = jnp.pad(delta, ((0, 0), (0, 0), (0, lp - l)))
     row, tile, mtile, vec = _specs(lp, dk)
     kernel = functools.partial(
@@ -249,9 +252,9 @@ def _attention_bwd(p_drop, residuals, do):
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b * h, lp, dk), F32),
-            jax.ShapeDtypeStruct((b * h, lp, dk), F32),
-            jax.ShapeDtypeStruct((b * h, lp, dk), F32),
+            jax.ShapeDtypeStruct((b * h, lp, dk), q.dtype),
+            jax.ShapeDtypeStruct((b * h, lp, dk), k.dtype),
+            jax.ShapeDtypeStruct((b * h, lp, dk), v.dtype),
         ],
     )(_seed_arr(seed), qf, kf, vf, mf, dof, lse, delta)
 

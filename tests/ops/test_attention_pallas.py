@@ -60,3 +60,33 @@ def test_fully_padded_rows_produce_finite_output():
     with pltpu.force_tpu_interpret_mode():
         out = fused_slate_attention(q, k, v, mask, seed, 0.0)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+class TestBf16:
+    """bf16 storage dtype: values near the fp32 path, grads in primal dtype
+    (a custom_vjp whose tangents don't match primal dtypes fails to trace —
+    this was a latent crash for bf16 training at L >= 512)."""
+
+    def test_bf16_forward_and_grad_dtypes(self):
+        q, k, v, mask = _data()
+        qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+        seed = jnp.zeros((), jnp.int32)
+        with pltpu.force_tpu_interpret_mode():
+            out_b = fused_slate_attention(qb, kb, vb, mask, seed, 0.0)
+            out_f = fused_slate_attention(q, k, v, mask, seed, 0.0)
+
+            def loss(q, k, v):
+                return jnp.sum(
+                    fused_slate_attention(q, k, v, mask, seed, 0.0)
+                    .astype(jnp.float32)
+                )
+
+            grads = jax.grad(loss, argnums=(0, 1, 2))(qb, kb, vb)
+        assert out_b.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(out_b, dtype=np.float32), np.asarray(out_f),
+            atol=3e-2,
+        )
+        for g in grads:
+            assert g.dtype == jnp.bfloat16
+            assert np.isfinite(np.asarray(g, dtype=np.float32)).all()

@@ -141,3 +141,25 @@ class TestTiledSeedSignature:
         np.testing.assert_allclose(kv, xv, rtol=1e-5)
         for a, b in zip(kg, xg):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+    def test_bf16_forward_and_grad_dtypes(self):
+        q, k, v, mask = _data(B=1, h=1, L=300)
+        qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+        with pltpu.force_tpu_interpret_mode():
+            out_b = tiled_slate_attention(qb, kb, vb, mask)
+            out_f = tiled_slate_attention(q, k, v, mask)
+
+            def loss(q, k, v):
+                return jnp.sum(
+                    tiled_slate_attention(q, k, v, mask).astype(jnp.float32)
+                )
+
+            grads = jax.grad(loss, argnums=(0, 1, 2))(qb, kb, vb)
+        assert out_b.dtype == jnp.bfloat16
+        np.testing.assert_allclose(
+            np.asarray(out_b, dtype=np.float32), np.asarray(out_f),
+            atol=3e-2,
+        )
+        for g in grads:
+            assert g.dtype == jnp.bfloat16
+            assert np.isfinite(np.asarray(g, dtype=np.float32)).all()
