@@ -1,12 +1,18 @@
 """Fused masked slate attention — Pallas TPU kernel with custom VJP.
 
 The slate encoder's attention materializes [B, h, L, L] score and probability
-tensors in HBM (XLA path in models/transformer.py). At slate lengths the
-whole L x L tile fits VMEM (240x240 fp32 = 230 KB), so this kernel fuses
-scores -> key-padding mask -> softmax -> (dropout) -> probs @ V per
-batch element (all heads resident) without writing the intermediates —
-flash-attention style, but single-tile: no online softmax needed at slate
-scale.
+tensors in HBM (XLA path in models/transformer.py). At slate lengths where
+the whole L x L tile fits VMEM (240x240 fp32 = 230 KB), this kernel fuses
+scores -> key-padding mask -> softmax -> (dropout) -> probs @ V without
+writing the intermediates — flash-attention style, but single-tile: no
+online softmax needed at slate scale.
+
+Blocking: the (batch, head) axes flatten into one grid axis and each program
+processes a BLOCK of G_B slates/heads at once (sized to ~5 MB of VMEM probs),
+so at paper scale (B=64, h=4, L=240) the grid is ~16 fat programs instead of
+64 thin ones — the MXU sees [G_B*L, L] matmuls and per-program overhead
+amortizes. Operands keep the tower's storage dtype (bf16 rides the MXU at
+full rate); scores/softmax accumulate fp32.
 
 Dropout on the attention probabilities (the reference trains with it,
 reference allrank/models/transformer.py:150-156) runs IN-KERNEL from the
@@ -35,7 +41,7 @@ _SEED_MIX = 1000003  # distinct PRNG stream per grid program
 
 
 def _dot(a, b):
-    """batched [G, L, M] @ [G, M, N] -> [G, L, N]."""
+    """batched [G, L, M] @ [G, M, N] -> [G, L, N], fp32 accumulation."""
     return jax.lax.dot_general(
         a, b, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=F32,
@@ -43,7 +49,7 @@ def _dot(a, b):
 
 
 def _dot_t(a, b):
-    """batched a^T @ b: [G, L, M], [G, L, N] -> [G, M, N]."""
+    """batched a^T @ b: [G, L, M], [G, L, N] -> [G, M, N], fp32 accumulation."""
     return jax.lax.dot_general(
         a, b, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=F32,
@@ -51,13 +57,10 @@ def _dot_t(a, b):
 
 
 def _probs(q, k, padded, scale):
-    """[h, L, dk] x [h, L, dk] + [L] key-padded flags -> [h, L, L] softmax.
-
-    Operands stay in their storage dtype (bf16 tower math rides the MXU at
-    full rate); scores/softmax accumulate in fp32 via preferred_element_type.
-    """
+    """[G, L, dk] x [G, L, dk] + [G, L] key-padded flags -> [G, L, L] fp32
+    softmax (operands stay in their storage dtype for full MXU rate)."""
     scores = _dot(q, jnp.swapaxes(k, 1, 2)) * scale
-    scores = jnp.where(padded[None, None, :] > 0.5, NEG_INF_FILL, scores)
+    scores = jnp.where(padded[:, None, :] > 0.5, NEG_INF_FILL, scores)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     return e / jnp.sum(e, axis=-1, keepdims=True)
@@ -71,26 +74,25 @@ def _dropout_keep(shape, p_drop: float):
 
 
 def _program_seed(seed_ref):
-    flat_id = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
-    return seed_ref[0] + flat_id * _SEED_MIX
+    return seed_ref[0] + pl.program_id(0) * _SEED_MIX
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
                 scale: float, p_drop: float):
-    q, k, v = q_ref[0], k_ref[0], v_ref[0]
-    p = _probs(q, k, mask_ref[0, 0], scale)
+    q, k, v = q_ref[...], k_ref[...], v_ref[...]
+    p = _probs(q, k, mask_ref[...], scale)
     if p_drop > 0.0:
         pltpu.prng_seed(_program_seed(seed_ref))
         keep = _dropout_keep(p.shape, p_drop)
         p = jnp.where(keep, p / (1.0 - p_drop), 0.0)
-    o_ref[0] = _dot(p.astype(v.dtype), v).astype(o_ref.dtype)
+    o_ref[...] = _dot(p.astype(v.dtype), v).astype(o_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *, scale: float, p_drop: float):
-    q, k, v = q_ref[0], k_ref[0], v_ref[0]
-    do = do_ref[0]
-    padded = mask_ref[0, 0]
+    q, k, v = q_ref[...], k_ref[...], v_ref[...]
+    do = do_ref[...]
+    padded = mask_ref[...]
     p = _probs(q, k, padded, scale)
     if p_drop > 0.0:
         pltpu.prng_seed(_program_seed(seed_ref))
@@ -100,32 +102,31 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
     else:
         p_dropped = p
 
-    dv_ref[0] = _dot_t(p_dropped.astype(do.dtype), do).astype(dv_ref.dtype)
+    dv_ref[...] = _dot_t(p_dropped.astype(do.dtype), do).astype(dv_ref.dtype)
     dp = _dot(do, jnp.swapaxes(v, 1, 2))
     if p_drop > 0.0:
         dp = jnp.where(keep, dp * inv, 0.0)
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    ds = jnp.where(padded[None, None, :] > 0.5, 0.0, ds)
+    ds = jnp.where(padded[:, None, :] > 0.5, 0.0, ds)
     ds = ds.astype(k.dtype)
-    dq_ref[0] = (_dot(ds, k) * scale).astype(dq_ref.dtype)
-    dk_ref[0] = (_dot_t(ds, q) * scale).astype(dk_ref.dtype)
+    dq_ref[...] = (_dot(ds, k) * scale).astype(dq_ref.dtype)
+    dk_ref[...] = (_dot_t(ds, q) * scale).astype(dk_ref.dtype)
 
 
-def _head_block(h: int, l: int) -> int:
-    """Heads per program: keep the [hb, L, L] probs tile within ~6 MB VMEM
-    (plus q/k/v/o blocks and temporaries)."""
-    budget = 6 * 1024 * 1024
-    hb = max(1, min(h, budget // max(1, 4 * l * l)))
-    while h % hb:
-        hb -= 1
-    return hb
+def _group_block(g: int, l: int) -> int:
+    """Slate-head rows per program: keep the [gb, L, L] fp32 probs tile
+    within ~5 MB of VMEM (plus q/k/v/o blocks and temporaries)."""
+    budget = 5 * 1024 * 1024
+    gb = max(1, min(g, budget // max(1, 4 * l * l)))
+    while g % gb:
+        gb -= 1
+    return gb
 
 
-def _specs(h, l, dk, hb):
-    # index maps receive (grid indices..., *scalar_prefetch_refs)
-    qkv = pl.BlockSpec((1, hb, l, dk), lambda b, j, *_: (b, j, 0, 0),
+def _specs(l, dk, gb):
+    qkv = pl.BlockSpec((gb, l, dk), lambda i, *_: (i, 0, 0),
                        memory_space=pltpu.VMEM)
-    mask = pl.BlockSpec((1, 1, l), lambda b, j, *_: (b, 0, 0),
+    mask = pl.BlockSpec((gb, l), lambda i, *_: (i, 0),
                         memory_space=pltpu.VMEM)
     return qkv, mask
 
@@ -144,28 +145,35 @@ def fused_slate_attention(q, k, v, key_mask, seed, p_drop: float = 0.0):
 
 
 def _prep(q, k, v, key_mask):
-    # q/k/v keep their storage dtype (bf16 tower math runs the MXU at full
-    # rate; fp32 accumulation happens inside the dots)
-    return (q, k, v, key_mask.astype(F32)[:, None, :])  # mask [B, 1, L]
+    """[B, h, L, dk] -> [B*h, L, dk] (storage dtype kept) + mask [B*h, L]."""
+    b, h, l, dk = q.shape
+
+    def flat(x):
+        return x.reshape(b * h, l, dk)
+
+    mask = jnp.repeat(key_mask.astype(F32), h, axis=0)  # [B*h, L]
+    return flat(q), flat(k), flat(v), mask
 
 
 def _fwd_call(q, k, v, key_mask, p_drop, seed):
     b, h, l, dk = q.shape
     scale = 1.0 / (dk ** 0.5)
-    hb = _head_block(h, l)
-    qkv_spec, mask_spec = _specs(h, l, dk, hb)
+    g = b * h
+    gb = _group_block(g, l)
+    qkv_spec, mask_spec = _specs(l, dk, gb)
     kernel = functools.partial(_fwd_kernel, scale=scale, p_drop=float(p_drop))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, h // hb),
+        grid=(g // gb,),
         in_specs=[qkv_spec, qkv_spec, qkv_spec, mask_spec],
         out_specs=qkv_spec,
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, l, dk), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((g, l, dk), q.dtype),
     )(jnp.asarray(seed, dtype=jnp.int32).reshape(1), *_prep(q, k, v, key_mask))
+    return out.reshape(b, h, l, dk)
 
 
 def _attention_fwd(q, k, v, key_mask, seed, p_drop):
@@ -177,12 +185,13 @@ def _attention_bwd(p_drop, residuals, do):
     q, k, v, key_mask, seed = residuals
     b, h, l, dk = q.shape
     scale = 1.0 / (dk ** 0.5)
-    hb = _head_block(h, l)
-    qkv_spec, mask_spec = _specs(h, l, dk, hb)
+    g = b * h
+    gb = _group_block(g, l)
+    qkv_spec, mask_spec = _specs(l, dk, gb)
     kernel = functools.partial(_bwd_kernel, scale=scale, p_drop=float(p_drop))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, h // hb),
+        grid=(g // gb,),
         in_specs=[qkv_spec, qkv_spec, qkv_spec, mask_spec, qkv_spec],
         out_specs=[qkv_spec, qkv_spec, qkv_spec],
     )
@@ -190,13 +199,17 @@ def _attention_bwd(p_drop, residuals, do):
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, l, dk), q.dtype),
-            jax.ShapeDtypeStruct((b, h, l, dk), k.dtype),
-            jax.ShapeDtypeStruct((b, h, l, dk), v.dtype),
+            jax.ShapeDtypeStruct((g, l, dk), q.dtype),
+            jax.ShapeDtypeStruct((g, l, dk), k.dtype),
+            jax.ShapeDtypeStruct((g, l, dk), v.dtype),
         ],
     )(jnp.asarray(seed, dtype=jnp.int32).reshape(1), *_prep(q, k, v, key_mask),
-      do.astype(q.dtype))
-    return dq, dk_, dv, None, None
+      do.astype(q.dtype).reshape(g, l, dk))
+
+    def unflat(x):
+        return x.reshape(b, h, l, dk)
+
+    return unflat(dq), unflat(dk_), unflat(dv), None, None
 
 
 fused_slate_attention.defvjp(_attention_fwd, _attention_bwd)
