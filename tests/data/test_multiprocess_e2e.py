@@ -19,8 +19,6 @@ import socket
 import subprocess
 import sys
 
-import pytest
-
 _WORKER = r"""
 import os, sys
 import numpy as np
