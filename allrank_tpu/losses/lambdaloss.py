@@ -146,6 +146,30 @@ def lambdaLoss(
     )
     G = (jnp.power(2.0, true_sorted_by_preds) - 1.0) / max_dcgs[:, None]
 
+    from allrank_tpu.ops.lambda_pallas import (
+        lambda_pairs,
+        lambda_pairs_available,
+    )
+
+    if lambda_pairs_available(slate_length, y_pred.shape[0]):
+        # fused VMEM pairwise chain (ops/lambda_pallas.py): same math, none
+        # of the [B, L, L] intermediates ever reach HBM
+        valid_rows = pred_valid
+        if slate_mask is not None:
+            valid_rows = valid_rows & jnp.asarray(slate_mask, dtype=bool)[:, None]
+        loss_sums, counts = lambda_pairs(
+            jnp.where(pred_valid, y_pred_sorted, 0.0),
+            true_sorted_by_preds,
+            G,
+            valid_rows.astype(jnp.float32),
+            scheme=weighing_scheme, k_eff=k_eff, sigma=sigma, mu=mu,
+            log_base=reduction_log, eps=eps,
+        )
+        total = jnp.sum(loss_sums)
+        if reduction == "sum":
+            return -total
+        return -total / jnp.maximum(jnp.sum(counts), 1.0)
+
     if weighing_scheme is None:
         weights = 1.0
     else:
