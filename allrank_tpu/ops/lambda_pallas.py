@@ -99,8 +99,8 @@ def _fwd_kernel(yp_ref, ts_ref, g_ref, valid_ref, drow_ref, deltas_ref,
         drow_ref[0], deltas_ref[...], **kw,
     )
     self_f = sel.astype(F32)
-    loss_ref[...] = jnp.sum(logs * self_f, axis=(1, 2))
-    cnt_ref[...] = jnp.sum(self_f, axis=(1, 2))
+    loss_ref[...] = jnp.sum(logs * self_f, axis=2)
+    cnt_ref[...] = jnp.sum(self_f, axis=2)
 
 
 def _bwd_kernel(yp_ref, ts_ref, g_ref, valid_ref, drow_ref, deltas_ref,
@@ -119,7 +119,7 @@ def _bwd_kernel(yp_ref, ts_ref, g_ref, valid_ref, drow_ref, deltas_ref,
         c = c * w * jnp.exp((w - 1.0) * jnp.log(a))
     c = c * jnp.where(s > eps, sigma * s * (1.0 - s), 0.0)
     grad = jnp.sum(c, axis=2) - jnp.sum(c, axis=1)  # [bb, L]
-    dyp_ref[...] = grad * gout_ref[...][:, None]
+    dyp_ref[...] = grad * gout_ref[...]  # gout [bb, 1] broadcasts
 
 
 def _block(b: int, l: int) -> int:
@@ -146,7 +146,7 @@ def _make_fused(scheme, k_eff, sigma, mu, log_base, eps, slate_length):
         vec = pl.BlockSpec((bb, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
         row = pl.BlockSpec((1, L), lambda i: (0, 0), memory_space=pltpu.VMEM)
         tab = pl.BlockSpec((L, L), lambda i: (0, 0), memory_space=pltpu.VMEM)
-        scal = pl.BlockSpec((bb,), lambda i: (i,), memory_space=pltpu.VMEM)
+        scal = pl.BlockSpec((bb, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
         return vec, row, tab, scal
 
     @jax.custom_vjp
@@ -160,11 +160,13 @@ def _make_fused(scheme, k_eff, sigma, mu, log_base, eps, slate_length):
             in_specs=[vec, vec, vec, vec, row, tab],
             out_specs=[scal, scal],
             out_shape=[
-                jax.ShapeDtypeStruct((b,), F32),
-                jax.ShapeDtypeStruct((b,), F32),
+                jax.ShapeDtypeStruct((b, L), F32),
+                jax.ShapeDtypeStruct((b, L), F32),
             ],
         )(yp, ts, g, valid, jnp.asarray(d_row)[None], jnp.asarray(deltas))
-        return loss, cnt
+        # kernels emit per-row partial sums (2-D outputs keep Mosaic's
+        # layout rules happy); collapse to per-slate scalars here
+        return jnp.sum(loss, axis=1), jnp.sum(cnt, axis=1)
 
     def fwd(yp, ts, g, valid):
         return fused(yp, ts, g, valid), (yp, ts, g, valid)
@@ -178,11 +180,13 @@ def _make_fused(scheme, k_eff, sigma, mu, log_base, eps, slate_length):
         dyp = pl.pallas_call(
             functools.partial(_bwd_kernel, **kw),
             grid=(b // bb,),
-            in_specs=[vec, vec, vec, vec, row, tab, scal],
+            in_specs=[vec, vec, vec, vec, row, tab,
+                      pl.BlockSpec((bb, 1), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
             out_specs=vec,
             out_shape=jax.ShapeDtypeStruct((b, L), F32),
         )(yp, ts, g, valid, jnp.asarray(d_row)[None], jnp.asarray(deltas),
-          g_loss.astype(F32))
+          g_loss.astype(F32)[:, None])
         zeros = jnp.zeros_like
         return dyp, zeros(ts), zeros(g), zeros(valid)
 
