@@ -79,20 +79,22 @@ def _program_seed(seed_ref):
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, o_ref, *,
                 scale: float, p_drop: float):
-    q, k, v = q_ref[...], k_ref[...], v_ref[...]
-    p = _probs(q, k, mask_ref[...], scale)
+    # blocks carry a singleton axis 1 so the group dim is not subject to
+    # Mosaic's last-two-dims alignment rules; squeeze it here
+    q, k, v = q_ref[:, 0], k_ref[:, 0], v_ref[:, 0]
+    p = _probs(q, k, mask_ref[:, 0], scale)
     if p_drop > 0.0:
         pltpu.prng_seed(_program_seed(seed_ref))
         keep = _dropout_keep(p.shape, p_drop)
         p = jnp.where(keep, p / (1.0 - p_drop), 0.0)
-    o_ref[...] = _dot(p.astype(v.dtype), v).astype(o_ref.dtype)
+    o_ref[:, 0] = _dot(p.astype(v.dtype), v).astype(o_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
                 dq_ref, dk_ref, dv_ref, *, scale: float, p_drop: float):
-    q, k, v = q_ref[...], k_ref[...], v_ref[...]
-    do = do_ref[...]
-    padded = mask_ref[...]
+    q, k, v = q_ref[:, 0], k_ref[:, 0], v_ref[:, 0]
+    do = do_ref[:, 0]
+    padded = mask_ref[:, 0]
     p = _probs(q, k, padded, scale)
     if p_drop > 0.0:
         pltpu.prng_seed(_program_seed(seed_ref))
@@ -102,21 +104,22 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref,
     else:
         p_dropped = p
 
-    dv_ref[...] = _dot_t(p_dropped.astype(do.dtype), do).astype(dv_ref.dtype)
+    dv_ref[:, 0] = _dot_t(p_dropped.astype(do.dtype), do).astype(dv_ref.dtype)
     dp = _dot(do, jnp.swapaxes(v, 1, 2))
     if p_drop > 0.0:
         dp = jnp.where(keep, dp * inv, 0.0)
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
     ds = jnp.where(padded[:, None, :] > 0.5, 0.0, ds)
     ds = ds.astype(k.dtype)
-    dq_ref[...] = (_dot(ds, k) * scale).astype(dq_ref.dtype)
-    dk_ref[...] = (_dot_t(ds, q) * scale).astype(dk_ref.dtype)
+    dq_ref[:, 0] = (_dot(ds, k) * scale).astype(dq_ref.dtype)
+    dk_ref[:, 0] = (_dot_t(ds, q) * scale).astype(dk_ref.dtype)
 
 
 def _group_block(g: int, l: int) -> int:
     """Slate-head rows per program: keep the [gb, L, L] fp32 probs tile
-    within ~5 MB of VMEM (plus q/k/v/o blocks and temporaries)."""
-    budget = 5 * 1024 * 1024
+    within ~2.5 MB of VMEM (several same-size temporaries live alongside,
+    plus double-buffered input blocks)."""
+    budget = int(2.5 * 1024 * 1024)
     gb = max(1, min(g, budget // max(1, 4 * l * l)))
     while g % gb:
         gb -= 1
@@ -124,9 +127,9 @@ def _group_block(g: int, l: int) -> int:
 
 
 def _specs(l, dk, gb):
-    qkv = pl.BlockSpec((gb, l, dk), lambda i, *_: (i, 0, 0),
+    qkv = pl.BlockSpec((gb, 1, l, dk), lambda i, *_: (i, 0, 0, 0),
                        memory_space=pltpu.VMEM)
-    mask = pl.BlockSpec((gb, l), lambda i, *_: (i, 0),
+    mask = pl.BlockSpec((gb, 1, l), lambda i, *_: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     return qkv, mask
 
@@ -145,13 +148,14 @@ def fused_slate_attention(q, k, v, key_mask, seed, p_drop: float = 0.0):
 
 
 def _prep(q, k, v, key_mask):
-    """[B, h, L, dk] -> [B*h, L, dk] (storage dtype kept) + mask [B*h, L]."""
+    """[B, h, L, dk] -> [B*h, 1, L, dk] (storage dtype kept; the singleton
+    axis keeps block shapes legal for any group size) + mask [B*h, 1, L]."""
     b, h, l, dk = q.shape
 
     def flat(x):
-        return x.reshape(b * h, l, dk)
+        return x.reshape(b * h, 1, l, dk)
 
-    mask = jnp.repeat(key_mask.astype(F32), h, axis=0)  # [B*h, L]
+    mask = jnp.repeat(key_mask.astype(F32), h, axis=0)[:, None, :]
     return flat(q), flat(k), flat(v), mask
 
 
@@ -171,7 +175,7 @@ def _fwd_call(q, k, v, key_mask, p_drop, seed):
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((g, l, dk), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((g, 1, l, dk), q.dtype),
     )(jnp.asarray(seed, dtype=jnp.int32).reshape(1), *_prep(q, k, v, key_mask))
     return out.reshape(b, h, l, dk)
 
@@ -199,12 +203,12 @@ def _attention_bwd(p_drop, residuals, do):
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((g, l, dk), q.dtype),
-            jax.ShapeDtypeStruct((g, l, dk), k.dtype),
-            jax.ShapeDtypeStruct((g, l, dk), v.dtype),
+            jax.ShapeDtypeStruct((g, 1, l, dk), q.dtype),
+            jax.ShapeDtypeStruct((g, 1, l, dk), k.dtype),
+            jax.ShapeDtypeStruct((g, 1, l, dk), v.dtype),
         ],
     )(jnp.asarray(seed, dtype=jnp.int32).reshape(1), *_prep(q, k, v, key_mask),
-      do.astype(q.dtype).reshape(g, l, dk))
+      do.astype(q.dtype).reshape(g, 1, l, dk))
 
     def unflat(x):
         return x.reshape(b, h, l, dk)

@@ -122,12 +122,16 @@ def _bwd_kernel(yp_ref, ts_ref, g_ref, valid_ref, drow_ref, deltas_ref,
     dyp_ref[...] = grad * gout_ref[...]  # gout [bb, 1] broadcasts
 
 
-def _block(b: int, l: int) -> int:
+def _block(b: int, l: int):
+    """Slates per program, or None when no legal block exists. Blocks are
+    [bb, L] with L == the full trailing dim, so Mosaic requires bb to be a
+    multiple of 8 or the whole batch."""
     budget = 5 * 1024 * 1024
-    bb = max(1, min(b, budget // max(1, 8 * l * l)))
-    while b % bb:
-        bb -= 1
-    return bb
+    cand = max(1, min(b, budget // max(1, 8 * l * l)))
+    for bb in range(cand, 0, -1):
+        if b % bb == 0 and (bb % 8 == 0 or bb == b):
+            return bb
+    return None
 
 
 @functools.lru_cache(maxsize=64)
@@ -240,8 +244,16 @@ def lambda_pairs_available(slate_length: int, batch: int) -> bool:
 
     phys = ambient_mesh()
     if phys is not None:
-        return _batch_shard_axes(phys, batch) is not None
-    return jax.device_count() == 1
+        axes = _batch_shard_axes(phys, batch)
+        if axes is None:
+            return False
+        shards = 1
+        for a in axes:
+            shards *= phys.shape[a]
+        batch = batch // shards  # per-shard batch must block legally
+    elif jax.device_count() != 1:
+        return False
+    return _block(batch, slate_length) is not None
 
 
 def lambda_pairs(yp, ts, g, valid, **kw):

@@ -405,7 +405,6 @@ def sinkhorn_scaling_sp(
       * row sums     a * (M0 b)    are fully local.
     One collective per iteration, O(L) bytes — the O(L^2) matrix never moves.
     """
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     if mask is not None:
@@ -431,7 +430,7 @@ def sinkhorn_scaling_sp(
         (a, b), _ = jax.lax.scan(one_iteration, (a, b), None, length=max_iter)
         return a[:, :, None] * m0 * b[:, None, :]
 
-    out = shard_map(
+    out = jax.shard_map(
         local, mesh=mesh,
         in_specs=P(None, axis, None),
         out_specs=P(None, axis, None),
