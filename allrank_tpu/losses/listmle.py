@@ -34,11 +34,15 @@ def listMLE(
         y_pred = y_pred[:, perm]
         y_true = y_true[:, perm]
 
-    order = jnp.argsort(y_true, axis=-1, descending=True, stable=True)
-    y_true_sorted = jnp.take_along_axis(y_true, order, axis=-1)
+    # one variadic sort pass instead of argsort + two gathers (see
+    # losses/lambdaloss.py): y_pred rides the label-descending permutation,
+    # and its gradient flows back through the sort's carried operand
+    neg_true_sorted, preds_sorted = jax.lax.sort(
+        (-y_true, y_pred), dimension=-1, num_keys=1, is_stable=True
+    )
+    y_true_sorted = -neg_true_sorted
     mask = y_true_sorted == padded_value_indicator
 
-    preds_sorted = jnp.take_along_axis(y_pred, order, axis=-1)
     preds_sorted = jnp.where(mask, -jnp.inf, preds_sorted)
 
     max_pred = jnp.max(preds_sorted, axis=-1, keepdims=True)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -52,8 +53,12 @@ def _true_sorted_by_preds(
     mask = y_true == padding_indicator
     y_pred = jnp.where(mask, -jnp.inf, y_pred)
     y_true = jnp.where(mask, 0.0, y_true)
-    order = jnp.argsort(y_pred, axis=-1, descending=True, stable=True)
-    return jnp.take_along_axis(y_true, order, axis=-1)
+    # variadic sort carries the labels through the prediction permutation in
+    # one pass (stable ascending on -y_pred == stable descending argsort)
+    _, sorted_true = jax.lax.sort(
+        (-y_pred, y_true), dimension=-1, num_keys=1, is_stable=True
+    )
+    return sorted_true
 
 
 def dcg(

@@ -19,6 +19,10 @@ input > eps):
     loss_ij = sel_ij * log_base(q);  total = sum_ij loss_ij
     dtotal/dyp_i = sum_j c_ij - sum_j c_ji,  where
     c = sel * [p > eps]/(q ln) * w * a^(w-1) * [s > eps] * sigma * s(1-s)
+      = sel * [w log a > log eps] * (w / (a ln)) * [s > eps] * sigma * s(1-s)
+
+(the second form is what the kernel evaluates: on the active branch q = a^w,
+so the power cancels and no exp is ever taken — see _chain)
 
 (``ln`` = ln2 for binary log, 1 for natural.) The weighing scheme w never
 depends on y_pred except through the (non-differentiable) sort order, so no
@@ -66,7 +70,13 @@ def _pair_weights(scheme, g, ts, d_row, deltas, mu):
 
 def _chain(yp, ts, g, valid, d_row, deltas, *, scheme, k_eff, sigma, mu,
            log_base, eps):
-    """Shared fwd/bwd body: returns (losses [bb,L,L], sel, s, a, p, q, w)."""
+    """Shared fwd/bwd body: returns (losses [bb,L,L], sel, s, a, wlog, w).
+
+    The weighted-probability chain runs in LOG SPACE: the XLA reference's
+    log(max(a^w, eps)) equals max(w*log a, log eps) (log is monotone), so
+    the a^w = exp(w*log a) transcendental never needs to be evaluated —
+    only one log and the sigmoid remain, which is what bounds the VPU at
+    [L, L] pair scale."""
     bb, L = yp.shape
     pv = (valid[:, :, None] > 0.5) & (valid[:, None, :] > 0.5)
     sel = pv
@@ -84,12 +94,12 @@ def _chain(yp, ts, g, valid, d_row, deltas, *, scheme, k_eff, sigma, mu,
     s = jax.nn.sigmoid(sigma * d)
     a = jnp.maximum(s, eps)
     w = _pair_weights(scheme, g, ts, d_row, deltas, mu)
-    p = a if w is None else jnp.exp(w * jnp.log(a))
-    q = jnp.maximum(p, eps)
-    logs = jnp.log(q)
+    log_a = jnp.log(a)
+    wlog = log_a if w is None else w * log_a
+    logs = jnp.maximum(wlog, float(np.log(eps)))
     if log_base == "binary":
         logs = logs / _LN2
-    return logs, sel, s, a, p, q, w
+    return logs, sel, s, a, wlog, w
 
 
 def _fwd_kernel(yp_ref, ts_ref, g_ref, valid_ref, drow_ref, deltas_ref,
@@ -106,7 +116,7 @@ def _fwd_kernel(yp_ref, ts_ref, g_ref, valid_ref, drow_ref, deltas_ref,
 def _bwd_kernel(yp_ref, ts_ref, g_ref, valid_ref, drow_ref, deltas_ref,
                 gout_ref, dyp_ref, **kw):
     yp = yp_ref[...]
-    logs, sel, s, a, p, q, w = _chain(
+    logs, sel, s, a, wlog, w = _chain(
         yp, ts_ref[...], g_ref[...], valid_ref[...], drow_ref[0],
         deltas_ref[...], **kw,
     )
@@ -114,9 +124,12 @@ def _bwd_kernel(yp_ref, ts_ref, g_ref, valid_ref, drow_ref, deltas_ref,
     eps = kw["eps"]
     sigma = kw["sigma"]
     ln = _LN2 if kw["log_base"] == "binary" else 1.0
-    c = sel.astype(F32) * jnp.where(p > eps, 1.0 / (q * ln), 0.0)
-    if w is not None:
-        c = c * w * jnp.exp((w - 1.0) * jnp.log(a))
+    # on the active branch (p = a^w > eps <=> w*log a > log eps) the XLA
+    # chain's  w * a^(w-1) / max(a^w, eps)  collapses to  w / a
+    w_over_a = (1.0 / a) if w is None else (w / a)
+    c = sel.astype(F32) * jnp.where(
+        wlog > float(np.log(eps)), w_over_a / ln, 0.0
+    )
     c = c * jnp.where(s > eps, sigma * s * (1.0 - s), 0.0)
     grad = jnp.sum(c, axis=2) - jnp.sum(c, axis=1)  # [bb, L]
     dyp_ref[...] = grad * gout_ref[...]  # gout [bb, 1] broadcasts

@@ -107,18 +107,27 @@ def main():
 
     path = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "BENCHMARKS.md")
+    head = ("# Loss-zoo train-step throughput (measured)\n\n"
+            f"Device: {device}. Flagship tower FC[128] + 4-block "
+            "transformer (h=4, d_ff=512, fixed positional encoding), "
+            "batch 64, slate 240, 136 features, bfloat16 compute, full "
+            "forward+loss+backward+Adam per step, device-synchronized "
+            "two-point timing (tools/bench_util.py).\n\n"
+            "| Loss | ms/step | slates/sec/chip |\n|---|---|---|\n")
+    table = "".join(f"| {entry} | {ms:.2f} | {sps:,.0f} |\n"
+                    for entry, ms, sps in rows)
+    base = ("\nTorch-CPU reference-equivalent baseline on the same host: "
+            "~47 slates/sec (tools/bench_torch_baseline.py).\n")
+    # replace only the leading loss-table section; every later "## ..."
+    # section of BENCHMARKS.md (attention, MFU sweep, ...) is preserved
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        cut = old.find("\n## ")
+        if cut != -1:
+            tail = old[cut:]
     with open(path, "w") as f:
-        f.write("# Loss-zoo train-step throughput (measured)\n\n")
-        f.write(f"Device: {device}. Flagship tower FC[128] + 4-block "
-                "transformer (h=4, d_ff=512, fixed positional encoding), "
-                "batch 64, slate 240, 136 features, bfloat16 compute, full "
-                "forward+loss+backward+Adam per step, device-synchronized "
-                "two-point timing (tools/bench_util.py).\n\n")
-        f.write("| Loss | ms/step | slates/sec/chip |\n|---|---|---|\n")
-        for entry, ms, sps in rows:
-            f.write(f"| {entry} | {ms:.2f} | {sps:,.0f} |\n")
-        f.write("\nTorch-CPU reference-equivalent baseline on the same host: "
-                "~47 slates/sec (tools/bench_torch_baseline.py).\n")
+        f.write(head + table + base + tail)
     print("wrote", path)
 
 
