@@ -17,6 +17,10 @@ import jax.numpy as jnp
 from allrank_tpu.constants import DEFAULT_EPS, PADDED_Y_VALUE
 from allrank_tpu.losses.common import as_f32, padding_mask
 from allrank_tpu.metrics import dcg, identity_gain, position_discounts, pow2_gain
+from allrank_tpu.ops.neuralsort_pallas import (
+    soft_sort_available,
+    soft_sort_contract,
+)
 from allrank_tpu.ops.soft_sort import (
     batch_shard_hint,
     deterministic_neural_sort,
@@ -101,14 +105,25 @@ def neuralNDCG(
             scores, mask_t, gains_t, temperature, mesh, axis
         ).reshape(s_dim, -1, slate_length)
     else:
-        p_hat = _p_hat(y_pred, mask, temperature, stochastic, n_samples, beta,
-                       log_scores, rng)
-        p_hat = _sinkhorn_over_samples(p_hat, mask)
-        pair_pad = mask[:, :, None] | mask[:, None, :]
-        p_hat = jnp.where(pair_pad[None, :, :, :], 0.0, p_hat)
+        scores, mask_t, s_dim = _flat_scores(
+            y_pred, mask, stochastic, n_samples, beta, log_scores, rng
+        )
+        if soft_sort_available(slate_length, scores.shape[0]):
+            # fully-fused VMEM chain (ops/neuralsort_pallas.py): same math,
+            # no [L, L] tensor ever reaches HBM
+            gains_t = gains if s_dim == 1 else jnp.tile(gains, (s_dim, 1))
+            ground_truth = soft_sort_contract(
+                scores, mask_t, gains_t, tau=temperature
+            ).reshape(s_dim, -1, slate_length)
+        else:
+            p_hat = _p_hat(y_pred, mask, temperature, stochastic, n_samples,
+                           beta, log_scores, rng)
+            p_hat = _sinkhorn_over_samples(p_hat, mask)
+            pair_pad = mask[:, :, None] | mask[:, None, :]
+            p_hat = jnp.where(pair_pad[None, :, :, :], 0.0, p_hat)
 
-        # [S, B, L]: soft-sorted gains
-        ground_truth = jnp.einsum("sbij,bj->sbi", p_hat, gains)
+            # [S, B, L]: soft-sorted gains
+            ground_truth = jnp.einsum("sbij,bj->sbi", p_hat, gains)
     discounts = jnp.asarray(position_discounts(slate_length))
     discounted_gains = ground_truth * discounts
 
@@ -167,12 +182,24 @@ def neuralNDCG_transposed(
             max_iter=max_iter, tol=tol, transpose=True,
         ).reshape(s_dim, -1, slate_length)
     else:
-        p_hat = _p_hat(y_pred, mask, temperature, stochastic, n_samples, beta,
-                       log_scores, rng)
-        p_hat = _sinkhorn_over_samples(p_hat, mask, tol=tol, max_iter=max_iter)
+        scores, mask_t, s_dim = _flat_scores(
+            y_pred, mask, stochastic, n_samples, beta, log_scores, rng
+        )
+        if soft_sort_available(slate_length, scores.shape[0]):
+            disc_t = jnp.broadcast_to(discounts[None, :], scores.shape)
+            expected_discounts = soft_sort_contract(
+                scores, mask_t, disc_t, tau=temperature, max_iter=max_iter,
+                transpose=True,
+            ).reshape(s_dim, -1, slate_length)
+        else:
+            p_hat = _p_hat(y_pred, mask, temperature, stochastic, n_samples,
+                           beta, log_scores, rng)
+            p_hat = _sinkhorn_over_samples(p_hat, mask, tol=tol,
+                                           max_iter=max_iter)
 
-        # expected discount at original position j: Σ_i P_hat[i, j] discount_i
-        expected_discounts = jnp.einsum("sbij,i->sbj", p_hat, discounts)
+            # expected discount at original position j:
+            # Σ_i P_hat[i, j] discount_i
+            expected_discounts = jnp.einsum("sbij,i->sbj", p_hat, discounts)
 
     gain_fn = pow2_gain if powered_relevancies else identity_gain
     gains = gain_fn(jnp.where(mask, 0.0, y_true))

@@ -69,8 +69,11 @@ def _matvec(m0, b):
     return jnp.sum(m0 * b[:, None, :], axis=2)
 
 
-def _fwd_kernel(m0_ref, p_ref, a_hist_ref, b_hist_ref, *, max_iter: int):
-    m0 = m0_ref[:]  # [S, L, L] resident for the whole loop
+def sinkhorn_loop(m0, a_hist_ref, b_hist_ref, *, max_iter: int):
+    """In-kernel fixed-trip Sinkhorn on a VMEM-resident ``m0`` [S, L, L],
+    recording the scaling trajectories into the history refs. Returns the
+    final (a, b). Shared by the standalone kernel and the fully-fused
+    neural-sort kernel (ops/neuralsort_pallas.py)."""
     s, l, _ = m0.shape
     ones = jnp.ones((s, l), dtype=F32)
     a_hist_ref[:, 0, :] = ones
@@ -86,15 +89,19 @@ def _fwd_kernel(m0_ref, p_ref, a_hist_ref, b_hist_ref, *, max_iter: int):
         b_hist_ref[:, t + 1, :] = b2
         return (a2, b2)
 
-    a, b = jax.lax.fori_loop(0, max_iter, body, (ones, ones))
+    return jax.lax.fori_loop(0, max_iter, body, (ones, ones))
+
+
+def _fwd_kernel(m0_ref, p_ref, a_hist_ref, b_hist_ref, *, max_iter: int):
+    m0 = m0_ref[:]  # [S, L, L] resident for the whole loop
+    a, b = sinkhorn_loop(m0, a_hist_ref, b_hist_ref, max_iter=max_iter)
     p_ref[:] = a[:, :, None] * m0 * b[:, None, :]
 
 
-def _bwd_kernel(m0_ref, a_hist_ref, b_hist_ref, dp_ref, dm_ref,
-                u_scratch, v_scratch, *, max_iter: int):
-    m0 = m0_ref[:]
-    dp = dp_ref[:]
-
+def sinkhorn_bwd_core(m0, a_hist_ref, b_hist_ref, dp, u_scratch, v_scratch,
+                      *, max_iter: int):
+    """In-kernel reverse pass: dM0 [S, L, L] from the output cotangent ``dp``
+    and the stored forward trajectories. All operands VMEM-resident."""
     a_T = a_hist_ref[:, max_iter, :]
     b_T = b_hist_ref[:, max_iter, :]
 
@@ -161,9 +168,17 @@ def _bwd_kernel(m0_ref, a_hist_ref, b_hist_ref, dp_ref, dm_ref,
             precision=jax.lax.Precision.HIGHEST,
         )  # [S, L, L]
 
-    dm_ref[:] = (dp * a_T[:, :, None] * b_T[:, None, :]
-                 + stacked(u_all, b_hist)
-                 + stacked(a_hist, v_all))
+    return (dp * a_T[:, :, None] * b_T[:, None, :]
+            + stacked(u_all, b_hist)
+            + stacked(a_hist, v_all))
+
+
+def _bwd_kernel(m0_ref, a_hist_ref, b_hist_ref, dp_ref, dm_ref,
+                u_scratch, v_scratch, *, max_iter: int):
+    dm_ref[:] = sinkhorn_bwd_core(
+        m0_ref[:], a_hist_ref, b_hist_ref, dp_ref[:],
+        u_scratch, v_scratch, max_iter=max_iter,
+    )
 
 
 def _pick_block(n: int, l: int, n_mats: int, max_iter: int,

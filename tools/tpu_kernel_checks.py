@@ -55,6 +55,56 @@ def check_sinkhorn_mesh_dispatch() -> None:
           f"max|diff|={err:.2e}")
 
 
+def check_neuralsort_fused() -> None:
+    """Fused neural-sort→Sinkhorn→contract kernel vs the XLA chain, value and
+    gradient, on hardware; plus the shard_map 1-device-mesh dispatch."""
+    from allrank_tpu.ops.neuralsort_pallas import (
+        fused_soft_sort_contract,
+        soft_sort_contract,
+    )
+    from allrank_tpu.ops.soft_sort import (
+        deterministic_neural_sort,
+        sinkhorn_scaling,
+    )
+
+    rng = np.random.RandomState(2)
+    B, L = 16, 240
+    scores = jnp.asarray(rng.randn(B, L).astype(np.float32))
+    lengths = rng.randint(30, L + 1, size=B)
+    mask = jnp.asarray(np.arange(L)[None, :] >= lengths[:, None])
+    vec = jnp.where(mask, 0.0,
+                    jnp.asarray(np.abs(rng.randn(B, L)).astype(np.float32)))
+
+    def xla_loss(s):
+        p = sinkhorn_scaling(deterministic_neural_sort(s, 1.0, mask), mask,
+                             tol=0.0, backend="xla")
+        p = jnp.where(mask[:, :, None] | mask[:, None, :], 0.0, p)
+        return jnp.sum(jnp.sin(jnp.einsum("nij,nj->ni", p, vec)))
+
+    def fused_loss(s):
+        return jnp.sum(jnp.sin(
+            fused_soft_sort_contract(s, mask, vec, tau=1.0)))
+
+    vx, gx = jax.jit(jax.value_and_grad(xla_loss))(scores)
+    vf, gf = jax.jit(jax.value_and_grad(fused_loss))(scores)
+    verr = abs(float(vx) - float(vf))
+    gerr = float(jnp.max(jnp.abs(gx - gf)) / (jnp.max(jnp.abs(gx)) + 1e-12))
+    check("fused neural-sort chain vs XLA (value)", verr < 1e-3,
+          f"|diff|={verr:.2e}")
+    check("fused neural-sort chain vs XLA (grad)", gerr < 1e-4,
+          f"rel={gerr:.2e}")
+
+    direct = np.asarray(fused_soft_sort_contract(scores, mask, vec, tau=1.0))
+    mesh = make_mesh(ParallelConfig(data=1, model=1))
+    with mesh:
+        meshed = np.asarray(jax.jit(
+            lambda s: soft_sort_contract(s, mask, vec, tau=1.0)
+        )(scores))
+    err = np.abs(direct - meshed).max()
+    check("fused neural-sort shard_map(1-device mesh) vs direct", err == 0.0,
+          f"max|diff|={err:.2e}")
+
+
 def check_attention_mesh_dispatch() -> None:
     import allrank_tpu.models.transformer as T
 
@@ -167,6 +217,7 @@ def main() -> int:
         print("not a TPU backend — nothing to check")
         return 1
     check_sinkhorn_mesh_dispatch()
+    check_neuralsort_fused()
     check_attention_mesh_dispatch()
     check_tiled_dropout()
     check_tiled_dropout_grads()
