@@ -39,6 +39,8 @@ CASES = [
     ("neuralNDCG", {"temperature": 1.0}),
     ("neuralNDCG[stochastic,8]", {"temperature": 1.0, "stochastic": True,
                                   "n_samples": 8}),
+    ("neuralNDCG[stochastic,32]", {"temperature": 1.0, "stochastic": True,
+                                   "n_samples": 32}),
 ]
 
 
