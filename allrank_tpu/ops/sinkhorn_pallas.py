@@ -183,10 +183,13 @@ def _bwd_kernel(m0_ref, a_hist_ref, b_hist_ref, dp_ref, dm_ref,
 
 def _pick_block(n: int, l: int, n_mats: int, max_iter: int,
                 largest: int = 8) -> int:
-    """Slates per grid program, bounded by a ~10 MB VMEM budget: ``n_mats``
-    [S, L, L] blocks plus the two [S, T+1, L] histories per program."""
-    budget = 10 * 1024 * 1024
-    per_slate = n_mats * l * l * 4 + 2 * (max_iter + 1) * l * 4
+    """Slates per grid program under the 16 MB scoped-VMEM limit. ``n_mats``
+    counts the [S, L, L] in/out blocks and the two [S, T+1, L] histories are
+    blocks too — Mosaic double-buffers every block to pipeline the grid, so
+    their bytes count twice against a ~14 MB budget (2 MB headroom for the
+    compiler's own scratch)."""
+    budget = 14 * 1024 * 1024
+    per_slate = 2 * (n_mats * l * l * 4 + 2 * (max_iter + 1) * l * 4)
     cap = max(1, min(largest, budget // max(1, per_slate)))
     for s in range(cap, 0, -1):
         if n % s == 0:
