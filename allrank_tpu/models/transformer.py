@@ -91,7 +91,8 @@ def transformer_init(key: jax.Array, tdef: TransformerDef) -> dict:
 # TPU. At paper scale (L=240) XLA's fused einsum attention is still faster
 # (0.66 vs 1.19 ms grad-chain at B=64 bf16, even with the batch-blocked
 # grid); the kernel wins once the materialized [B, h, L, L] score/prob
-# tensors dominate HBM traffic (2.1x at L=512, tools/bench_attention.py). Set to 0 to force the kernel. Above MAX_LEN a single head's
+# tensors dominate HBM traffic (2.1x at L=512, tools/bench_attention.py).
+# Set to 0 to force the kernel. Above MAX_LEN a single head's
 # [L, L] probability tile exceeds the VMEM budget and the K-tiled
 # online-softmax kernel (ops/attention_tiled.py) takes over; both kernels
 # apply attention dropout in-kernel via the on-core PRNG.
