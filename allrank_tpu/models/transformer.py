@@ -159,6 +159,26 @@ def _attention(lp: dict, tdef: TransformerDef, x, key_mask, train, rng):
     v = v.reshape(b, l, h, d_k)
 
     p_drop = float(tdef.dropout) if (train and tdef.dropout > 0.0) else 0.0
+
+    from allrank_tpu.ops.attention_ring import (
+        RING_ATTENTION_MIN_LEN,
+        ring_slate_attention,
+    )
+    from allrank_tpu.ops.soft_sort import sequence_parallel_mesh
+
+    sp = sequence_parallel_mesh(l)
+    if sp is not None and l >= RING_ATTENTION_MIN_LEN:
+        # slate-axis-sharded ring attention: each sequence shard holds
+        # [B, h, L/P, ·] and K/V blocks rotate over ICI (ppermute)
+        mesh, axis = sp
+        ctx = ring_slate_attention(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), key_mask, mesh, axis,
+            p_drop=p_drop, rng=rng if p_drop > 0.0 else None,
+        )
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, d).astype(x.dtype)
+        return dense_apply(lp["out"], ctx)
+
     fused = _fused_attention_runner(l, b, p_drop)
     if fused is not None:
         seed = (
