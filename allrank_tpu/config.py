@@ -85,6 +85,8 @@ class TrainingConfig:
     # metrics pass (the reference iterates the train set twice per epoch)
     scan_steps: int = 1  # optimizer steps per device dispatch (lax.scan over
     # stacked batches; amortizes host dispatch for small models)
+    accumulation_steps: int = 1  # micro-batches per optimizer step (gradient
+    # accumulation: ~A x lower peak activation memory, same update)
 
 
 @dataclass

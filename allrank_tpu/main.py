@@ -177,6 +177,7 @@ def run(args: Namespace = None) -> dict:
             profiler_trace_dir=config.training.profiler_trace_dir,
             metrics_on_train=config.training.metrics_on_train,
             scan_steps=config.training.scan_steps,
+            accumulation_steps=config.training.accumulation_steps,
         )
 
     result_for_dump = {k: v for k, v in result.items() if k != "params"}

@@ -67,6 +67,7 @@ def make_train_step(
     gradient_clipping_norm: Optional[float],
     compute_dtype: str = "float32",
     scan_steps: int = 1,
+    accumulation_steps: int = 1,
 ):
     """Build the jitted train step:
     (params, opt_state, rng, batch) -> (params, opt_state, rng, loss, n_real).
@@ -77,26 +78,74 @@ def make_train_step(
     with all-dummy batches whose updates are skipped entirely (an Adam step
     with zero gradients is NOT a no-op, so dummies must not step). Returned
     loss/n_real are [K] arrays.
+
+    With ``accumulation_steps = A > 1`` each batch is processed as A
+    sequential micro-batches (a ``lax.scan`` over a [A, B/A, ...] reshape)
+    and ONE optimizer step is taken on the combined gradients — the peak
+    activation memory of the forward/backward drops ~A× while the update
+    matches the full-batch step. Micro losses/gradients combine weighted by
+    their valid-slate counts, which reproduces the full-batch value exactly
+    for per-slate-mean loss reductions (the loss zoo's convention).
     """
     dtype = _compute_dtype(compute_dtype)
     loss_kwargs = dict(loss_kwargs or {})
+    accumulation_steps = max(1, int(accumulation_steps or 1))
 
     def one_batch(params, opt_state, rng, batch: SlateBatch):
         x, y, indices, slate_mask = batch
         mask = y == PADDED_Y_VALUE
         next_rng, drop_rng, loss_rng = jax.random.split(rng, 3)
 
-        def loss_of(p):
+        def loss_of(p, xb, mb, ib, yb, sb, d_rng, l_rng):
             preds = forward(
-                p, mdef, x, mask, indices, train=True, rng=drop_rng,
+                p, mdef, xb, mb, ib, train=True, rng=d_rng,
                 compute_dtype=dtype,
             )
             kw = dict(loss_kwargs)
             if needs_rng:
-                kw["rng"] = loss_rng
-            return loss_fn(preds, y, slate_mask=slate_mask, **kw)
+                kw["rng"] = l_rng
+            return loss_fn(preds, yb, slate_mask=sb, **kw)
 
-        loss, grads = jax.value_and_grad(loss_of)(params)
+        if accumulation_steps <= 1:
+            loss, grads = jax.value_and_grad(loss_of)(
+                params, x, mask, indices, y, slate_mask, drop_rng, loss_rng
+            )
+        else:
+            a = accumulation_steps
+            b = x.shape[0]
+            if b % a:
+                raise ValueError(
+                    f"batch_size {b} not divisible by "
+                    f"accumulation_steps {a}"
+                )
+
+            def micro_split(t):
+                return t.reshape(a, b // a, *t.shape[1:])
+
+            stream = (
+                micro_split(x), micro_split(mask), micro_split(indices),
+                micro_split(y), micro_split(slate_mask),
+                jax.random.split(drop_rng, a), jax.random.split(loss_rng, a),
+            )
+
+            def micro(carry, inp):
+                loss_acc, grads_acc, w_acc = carry
+                l, g = jax.value_and_grad(loss_of)(params, *inp)
+                w = jnp.sum(inp[4].astype(jnp.float32))  # valid slates
+                grads_acc = jax.tree.map(
+                    lambda ga, gi: ga + gi * w, grads_acc, g
+                )
+                return (loss_acc + l * w, grads_acc, w_acc + w), None
+
+            init = (
+                jnp.zeros(()),
+                jax.tree.map(jnp.zeros_like, params),
+                jnp.zeros(()),
+            )
+            (loss_sum, grad_sum, w_sum), _ = jax.lax.scan(micro, init, stream)
+            denom = jnp.maximum(w_sum, 1.0)
+            loss = loss_sum / denom
+            grads = jax.tree.map(lambda g: g / denom, grad_sum)
         if gradient_clipping_norm:
             gnorm = optax.global_norm(grads)
             scale = jnp.minimum(1.0, gradient_clipping_norm / (gnorm + 1e-6))
@@ -277,6 +326,7 @@ def fit(
     profiler_trace_dir: Optional[str] = None,
     metrics_on_train: bool = True,
     scan_steps: int = 1,
+    accumulation_steps: int = 1,
 ) -> Dict[str, Any]:
     """The epoch loop (reference: allrank/training/train_utils.py:78-147).
 
@@ -301,6 +351,7 @@ def fit(
     train_step = make_train_step(
         mdef, loss_fn, loss_kwargs, needs_rng, optimizer,
         gradient_clipping_norm, compute_dtype, scan_steps=scan_steps,
+        accumulation_steps=accumulation_steps,
     )
     eval_step = make_eval_fns(
         mdef, loss_fn, loss_kwargs, needs_rng, metrics, compute_dtype
