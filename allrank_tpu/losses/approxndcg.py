@@ -43,10 +43,6 @@ def approxNDCGLoss(
     y_true_sorted = -jax.lax.sort(-y_true_f, dimension=-1)
 
     valid = jnp.isfinite(true_sorted_by_preds)
-    pair_valid = valid[:, :, None] & valid[:, None, :]
-    # exclude the diagonal from the approximate rank sum
-    off_diag = ~jnp.eye(slate_length, dtype=bool)
-    padded_pairs_mask = pair_valid & off_diag[None, :, :]
 
     true_sorted_by_preds = jnp.maximum(true_sorted_by_preds, 0.0)
     y_true_sorted = jnp.maximum(y_true_sorted, 0.0)
@@ -59,13 +55,29 @@ def approxNDCGLoss(
     )
     G = (jnp.power(2.0, true_sorted_by_preds) - 1.0) / max_dcgs[:, None]
 
-    scores_diffs = y_pred_sorted[:, :, None] - y_pred_sorted[:, None, :]
-    scores_diffs = jnp.where(padded_pairs_mask, scores_diffs, 0.0)
-    approx_pos = 1.0 + jnp.sum(
-        padded_pairs_mask.astype(jnp.float32)
-        * jnp.maximum(jax.nn.sigmoid(-alpha * scores_diffs), eps),
-        axis=-1,
+    from allrank_tpu.ops.approx_pallas import (
+        approx_pos as approx_pos_kernel,
+        approx_pos_available,
     )
+
+    if approx_pos_available(slate_length, y_pred.shape[0]):
+        # fused VMEM rank-sum kernel: the [L, L] diff/sigmoid/clamp chain
+        # never reaches HBM (ops/approx_pallas.py); same math + gradient
+        approx_pos = 1.0 + approx_pos_kernel(
+            y_pred_sorted, valid.astype(jnp.float32), alpha=alpha, eps=eps
+        )
+    else:
+        pair_valid = valid[:, :, None] & valid[:, None, :]
+        # exclude the diagonal from the approximate rank sum
+        off_diag = ~jnp.eye(slate_length, dtype=bool)
+        padded_pairs_mask = pair_valid & off_diag[None, :, :]
+        scores_diffs = y_pred_sorted[:, :, None] - y_pred_sorted[:, None, :]
+        scores_diffs = jnp.where(padded_pairs_mask, scores_diffs, 0.0)
+        approx_pos = 1.0 + jnp.sum(
+            padded_pairs_mask.astype(jnp.float32)
+            * jnp.maximum(jax.nn.sigmoid(-alpha * scores_diffs), eps),
+            axis=-1,
+        )
     approx_D = jnp.log2(1.0 + approx_pos)
     approx_ndcg = jnp.sum(G / approx_D, axis=-1)
 

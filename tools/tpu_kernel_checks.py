@@ -105,6 +105,39 @@ def check_neuralsort_fused() -> None:
           f"max|diff|={err:.2e}")
 
 
+def check_approx_pos_fused() -> None:
+    """Fused approxNDCG rank-sum kernel vs the XLA loss chain, value and
+    gradient, through the whole loss on hardware."""
+    import allrank_tpu.losses.approxndcg as A
+    import allrank_tpu.ops.approx_pallas as AP
+
+    rng = np.random.RandomState(4)
+    B, L = 16, 240
+    y_pred = jnp.asarray(rng.randn(B, L).astype(np.float32))
+    y_true = rng.randint(0, 5, size=(B, L)).astype(np.float32)
+    y_true[:, -40:] = -1.0
+    y_true = jnp.asarray(y_true)
+
+    def loss(p):
+        return A.approxNDCGLoss(p, y_true, alpha=1.0)
+
+    orig = AP.approx_pos_available
+    try:
+        AP.approx_pos_available = lambda *a: False
+        vx, gx = jax.jit(jax.value_and_grad(loss))(y_pred)
+        AP.approx_pos_available = orig
+        assert orig(L, B), "fused approx kernel should be available here"
+        vf, gf = jax.jit(jax.value_and_grad(loss))(y_pred)
+    finally:
+        AP.approx_pos_available = orig
+    verr = abs(float(vx) - float(vf))
+    gerr = float(jnp.max(jnp.abs(gx - gf)) / (jnp.max(jnp.abs(gx)) + 1e-12))
+    check("fused approxNDCG rank-sum vs XLA (value)", verr < 1e-5,
+          f"|diff|={verr:.2e}")
+    check("fused approxNDCG rank-sum vs XLA (grad)", gerr < 1e-4,
+          f"rel={gerr:.2e}")
+
+
 def check_attention_mesh_dispatch() -> None:
     import allrank_tpu.models.transformer as T
 
@@ -218,6 +251,7 @@ def main() -> int:
         return 1
     check_sinkhorn_mesh_dispatch()
     check_neuralsort_fused()
+    check_approx_pos_fused()
     check_attention_mesh_dispatch()
     check_tiled_dropout()
     check_tiled_dropout_grads()
