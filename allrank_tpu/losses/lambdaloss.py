@@ -123,47 +123,49 @@ def lambdaLoss(
     y_pred_sorted = -neg_sorted
     y_true_sorted = -jax.lax.sort(-y_true_f, dimension=-1)
 
-    pred_valid = jnp.isfinite(true_sorted_by_preds)
-    pair_valid = pred_valid[:, :, None] & pred_valid[:, None, :]
-    true_diffs = jnp.where(
-        pair_valid,
-        true_sorted_by_preds[:, :, None] - true_sorted_by_preds[:, None, :],
-        0.0,
-    )
-    padded_pairs_mask = pair_valid
-    if weighing_scheme != "ndcgLoss1_scheme":
-        padded_pairs_mask = padded_pairs_mask & (true_diffs > 0)
-    if slate_mask is not None:
-        padded_pairs_mask = padded_pairs_mask & (
-            jnp.asarray(slate_mask, dtype=bool)[:, None, None]
-        )
-
     k_eff = slate_length if k is None else min(int(k), slate_length)
-    within_k = np.zeros((slate_length, slate_length), dtype=bool)
-    within_k[:k_eff, :k_eff] = True
-    ndcg_at_k_mask = jnp.asarray(within_k)
 
-    true_sorted_by_preds = jnp.maximum(true_sorted_by_preds, 0.0)
     y_true_sorted = jnp.maximum(y_true_sorted, 0.0)
-
     D = jnp.asarray(_log2_positions(slate_length))
     max_dcgs = jnp.maximum(
         jnp.sum(((jnp.power(2.0, y_true_sorted) - 1.0) / D)[:, :k_eff], axis=-1), eps
     )
+
+    # Every selected pair lives in the top-k x top-k block of the
+    # prediction-sorted slate (the reference's ndcg_at_k_mask,
+    # allrank/models/losses/lambdaLoss.py:79-80, selects exactly that
+    # block), so slice to it BEFORE any [B, *, *] pair tensor exists: all
+    # three paths below then do O(k^2) work instead of O(L^2)-masked-to-k^2.
+    true_raw_topk = true_sorted_by_preds[:, :k_eff]  # pre-clamp, -inf pads
+    y_pred_sorted = y_pred_sorted[:, :k_eff]
+    pred_valid = jnp.isfinite(true_raw_topk)
+    true_sorted_by_preds = jnp.maximum(true_raw_topk, 0.0)
     G = (jnp.power(2.0, true_sorted_by_preds) - 1.0) / max_dcgs[:, None]
+    D = D[:k_eff]
 
     from allrank_tpu.ops.lambda_pallas import (
         lambda_pairs,
         lambda_pairs_available,
     )
+    from allrank_tpu.ops.lambda_tiled import (
+        tiled_lambda,
+        tiled_lambda_preferred,
+    )
 
-    if lambda_pairs_available(slate_length, y_pred.shape[0]):
-        # fused VMEM pairwise chain (ops/lambda_pallas.py): same math, none
-        # of the [B, L, L] intermediates ever reach HBM
+    # fused VMEM pairwise chain: square kernel (whole [k, k] slab resident,
+    # ops/lambda_pallas.py) up to k_eff=384; the pair-tiled kernel
+    # (ops/lambda_tiled.py) beyond that once XLA's [B, k, k] intermediates
+    # would pressure HBM — same math, none of the pair tensors reach HBM
+    kernel = None
+    if lambda_pairs_available(k_eff, y_pred.shape[0]):
+        kernel = lambda_pairs
+    elif tiled_lambda_preferred(k_eff, y_pred.shape[0]):
+        kernel = tiled_lambda
+    if kernel is not None:
         valid_rows = pred_valid
         if slate_mask is not None:
             valid_rows = valid_rows & jnp.asarray(slate_mask, dtype=bool)[:, None]
-        loss_sums, counts = lambda_pairs(
+        loss_sums, counts = kernel(
             jnp.where(pred_valid, y_pred_sorted, 0.0),
             true_sorted_by_preds,
             G,
@@ -175,6 +177,20 @@ def lambdaLoss(
         if reduction == "sum":
             return -total
         return -total / jnp.maximum(jnp.sum(counts), 1.0)
+
+    pair_valid = pred_valid[:, :, None] & pred_valid[:, None, :]
+    true_diffs = jnp.where(
+        pair_valid,
+        true_raw_topk[:, :, None] - true_raw_topk[:, None, :],
+        0.0,
+    )
+    padded_pairs_mask = pair_valid
+    if weighing_scheme != "ndcgLoss1_scheme":
+        padded_pairs_mask = padded_pairs_mask & (true_diffs > 0)
+    if slate_mask is not None:
+        padded_pairs_mask = padded_pairs_mask & (
+            jnp.asarray(slate_mask, dtype=bool)[:, None, None]
+        )
 
     if weighing_scheme is None:
         weights = 1.0
@@ -193,7 +209,7 @@ def lambdaLoss(
     else:
         losses = jnp.log2(weighted_probas)
 
-    selected = (padded_pairs_mask & ndcg_at_k_mask[None, :, :]).astype(jnp.float32)
+    selected = padded_pairs_mask.astype(jnp.float32)
     total = jnp.sum(losses * selected)
     if reduction == "sum":
         return -total
