@@ -314,14 +314,14 @@ def tiled_lambda_pairs(
 
 
 def tiled_lambda_preferred(slate_length: int, batch: int) -> bool:
-    """Dispatch policy: measured on a v5e, XLA matches this kernel on *time*
-    at long L (both are VPU-transcendental-bound and XLA fuses the chain
-    well: 0.87-0.99x at L=512-4096), so the kernel's win is *memory* — the
-    XLA path holds ~6 live [B, L, L] fp32 intermediates through the grad
-    chain. Prefer the kernel once a single pair tensor reaches ~0.5 GB
-    (B*L^2 >= 128M elements), where those intermediates start crowding out
-    model state / prefetch buffers and eventually OOM the chip."""
-    if batch * slate_length * slate_length < 128 * 1024 * 1024:
+    """Dispatch policy: measured on a v5e (tools/bench_lambda_tiled.py),
+    XLA keeps a small edge at B*L^2 below ~32M elements (0.74 vs 0.85 ms at
+    B=64 L=512 — both paths VPU-transcendental-bound, XLA fuses the chain
+    well) and the kernel wins past it (1.1x at L=768, 1.4x at L=1024,
+    1.1-1.2x at L=2048-4096). On top of time, the kernel sidesteps the ~6
+    live [B, L, L] fp32 intermediates XLA holds through the grad chain —
+    multi-GB at WEB30K-eval shapes — so the threshold leans low."""
+    if batch * slate_length * slate_length < 32 * 1024 * 1024:
         return False
     return tiled_lambda_available(slate_length, batch)
 
