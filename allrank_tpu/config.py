@@ -70,6 +70,10 @@ class DataConfig:
     # length buckets (one compiled eval shape per bucket) instead of padding
     # every slate to the split's longest — metric-invariant, but the O(L^2)+
     # eval-loss terms run near each slate's true length
+    device_cache: bool = False  # keep the flat feature matrices in HBM and
+    # feed steps [B, L] int32 gather indices instead of [B, L, F] rows —
+    # eliminates the per-step host->device feature stream (the training
+    # bottleneck on slow interconnects); slate-fixing randomness unchanged
 
 
 @dataclass

@@ -62,6 +62,7 @@ class SlateBatcher:
         seed: int = 42,
         local_rows: Optional[np.ndarray] = None,
         num_workers: int = 0,
+        emit_row_indices: bool = False,
     ):
         self.dataset = dataset
         self.slate_length = int(slate_length)
@@ -69,6 +70,7 @@ class SlateBatcher:
         self.shuffle = shuffle
         self.seed = seed
         self.epoch = 0
+        self.emit_row_indices = bool(emit_row_indices)
         if local_rows is None:
             local_rows = np.arange(self.batch_size)
         self.local_rows = np.asarray(local_rows, dtype=np.int64)
@@ -141,7 +143,48 @@ class SlateBatcher:
         get = getattr(self.dataset, "flat_slate_buffers", None)
         return get() if get is not None else None
 
+    def _iter_row_indices(self) -> Iterator[SlateBatch]:
+        """Index-mode epochs for a DeviceFeatureStore: ``x`` becomes a
+        [B, L] int32 matrix of rows into the dataset's flat feature matrix
+        (padded/dummy slots -> the store's sentinel row == total doc count).
+
+        Derived FROM the materializing iterator's batches — ``indices``
+        already records each slot's chosen within-slate position, so
+        ``slate_offset + indices`` is the flat row for every assembly
+        backend (native C++, thread pool, python) with bit-identical
+        slate-fixing draws; only the [B, L, F] payload stops being shipped
+        (host materialization is ~1s/epoch at WEB30K scale, the device feed
+        it replaces is the bottleneck)."""
+        flat = getattr(self.dataset, "flat_slate_buffers", lambda: None)()
+        if flat is None:
+            raise ValueError("emit_row_indices requires flat slate buffers")
+        _, _, offsets, index_map = flat
+        sentinel = np.int64(offsets[-1])
+        order = self._order()
+        G = self.batch_size
+        local_rows = self.local_rows
+        for start, batch in zip(
+            range(0, len(order), G), self._iter_materialized()
+        ):
+            chunk = order[start : start + G]
+            row_off = np.zeros((len(local_rows), 1), dtype=np.int64)
+            for row, gpos in enumerate(local_rows):
+                if gpos < len(chunk):
+                    ds_idx = int(chunk[gpos])
+                    base = ds_idx if index_map is None else int(index_map[ds_idx])
+                    row_off[row, 0] = offsets[base]
+            xi = np.where(
+                batch.indices >= 0, row_off + batch.indices, sentinel
+            ).astype(np.int32)
+            yield SlateBatch(xi, batch.y, batch.indices, batch.slate_mask)
+
     def __iter__(self) -> Iterator[SlateBatch]:
+        if self.emit_row_indices:
+            yield from self._iter_row_indices()
+            return
+        yield from self._iter_materialized()
+
+    def _iter_materialized(self) -> Iterator[SlateBatch]:
         order = self._order()
         G, L = self.batch_size, self.slate_length
         n_features = self.dataset.n_features
@@ -247,6 +290,7 @@ class BucketedSlateBatcher:
         local_rows: Optional[np.ndarray] = None,
         num_workers: int = 0,
         align: int = 8,
+        emit_row_indices: bool = False,
     ):
         lengths = np.array([len(dataset[i][1]) for i in range(len(dataset))])
         order = np.argsort(lengths, kind="stable")
@@ -264,6 +308,7 @@ class BucketedSlateBatcher:
             SlateBatcher(
                 _SubsetDataset(dataset, idxs), length, batch_size,
                 shuffle=False, local_rows=local_rows, num_workers=num_workers,
+                emit_row_indices=emit_row_indices,
             )
             for length, idxs in self.buckets
         ]

@@ -1,0 +1,52 @@
+"""Device-resident feature store: keep the dataset's flat feature matrix in
+HBM and feed the step only gather indices.
+
+TPU-first rationale (no reference analog — the reference's torch DataLoader
+re-ships every [B, L, F] batch host→device,
+allrank/data/dataset_loading.py:230-247): LTR datasets are small relative to
+HBM (WEB30K train: 2.1M docs x 136 features = 1.1 GB fp32) while the
+per-step feed is large relative to interconnect latency — on a tunneled
+chip the sustained stream is ~6-15 MB/s and an 8.4 MB batch costs ~1.3 s
+against a 2.4 ms step. With the store, the flat [n_docs, F] matrix is
+uploaded ONCE (bulk H2D runs at full bandwidth), and each batch ships a
+[B, L] int32 row-index matrix (61 KB at the paper shape) that the jitted
+step turns into features with one on-device ``jnp.take``. Slate fixing
+semantics are untouched: the host still draws the same per-(seed, epoch,
+slate) subsample permutations (reference re-fixes per access,
+dataset_loading.py:141-152) — only the row payload stops travelling.
+
+Enable with ``data.device_cache: true``; ``SlateBatcher(emit_row_indices=
+True)`` produces the index batches, padded positions pointing at the
+store's trailing all-zero sentinel row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class DeviceFeatureStore:
+    """Uploads a dataset's flat feature matrix (plus one all-zero sentinel
+    row for padded positions) to device(s) once.
+
+    ``table`` is a jax.Array [n_docs + 1, F]; replicated over ``mesh`` when
+    given (every data shard gathers its own batch rows from a full copy —
+    the table is small, and replication keeps the gather local, no
+    collectives). ``sentinel`` is the row index batchers must use for
+    padded slots (== dataset doc count).
+    """
+
+    def __init__(self, dataset, mesh=None):
+        import jax
+
+        flat_X, _flat_y, _offsets, _index_map = dataset.flat_slate_buffers()
+        table = np.concatenate(
+            [flat_X, np.zeros((1, flat_X.shape[1]), flat_X.dtype)], axis=0
+        )
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self.table = jax.device_put(table, NamedSharding(mesh, P()))
+        else:
+            self.table = jax.device_put(table)
+        self.sentinel = int(flat_X.shape[0])

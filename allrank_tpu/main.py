@@ -117,15 +117,27 @@ def run(args: Namespace = None) -> dict:
     # devices hold under the P('data') sharding; the prefetcher stitches them
     # into global arrays (no duplicated or dropped slates across the pod).
     local_rows = process_local_rows(global_batch, mesh)
+    device_cache = bool(getattr(config.data, "device_cache", False))
+    train_store = val_store = None
+    if device_cache:
+        from allrank_tpu.data.feature_store import DeviceFeatureStore
+
+        train_store = DeviceFeatureStore(train_ds, mesh)
+        val_store = DeviceFeatureStore(val_ds, mesh)
+        logger.info(
+            "device feature store: train %s, val %s rows resident in HBM",
+            train_store.sentinel, val_store.sentinel,
+        )
     train_batcher = SlateBatcher(
         train_ds, train_len, global_batch, shuffle=True,
         seed=config.data.shuffle_seed, local_rows=local_rows,
-        num_workers=config.data.num_workers,
+        num_workers=config.data.num_workers, emit_row_indices=device_cache,
     )
     if config.data.eval_buckets > 0:
         val_batcher = BucketedSlateBatcher(
             val_ds, global_batch, n_buckets=config.data.eval_buckets,
             local_rows=local_rows, num_workers=config.data.num_workers,
+            emit_row_indices=device_cache,
         )
         logger.info(
             "bucketed eval shapes: %s",
@@ -135,7 +147,7 @@ def run(args: Namespace = None) -> dict:
         val_batcher = SlateBatcher(
             val_ds, val_len, global_batch, shuffle=False,
             seed=config.data.shuffle_seed, local_rows=local_rows,
-            num_workers=config.data.num_workers,
+            num_workers=config.data.num_workers, emit_row_indices=device_cache,
         )
 
     mdef = make_model(config.model, n_features)
@@ -177,6 +189,8 @@ def run(args: Namespace = None) -> dict:
             profiler_trace_dir=config.training.profiler_trace_dir,
             metrics_on_train=config.training.metrics_on_train,
             scan_steps=config.training.scan_steps,
+            train_feature_table=None if train_store is None else train_store.table,
+            val_feature_table=None if val_store is None else val_store.table,
             accumulation_steps=config.training.accumulation_steps,
         )
 

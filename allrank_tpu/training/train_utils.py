@@ -91,8 +91,12 @@ def make_train_step(
     loss_kwargs = dict(loss_kwargs or {})
     accumulation_steps = max(1, int(accumulation_steps or 1))
 
-    def one_batch(params, opt_state, rng, batch: SlateBatch):
+    def one_batch(params, opt_state, rng, batch: SlateBatch, table=None):
         x, y, indices, slate_mask = batch
+        if table is not None:
+            # device feature store: x is [B, L] int32 rows into the
+            # HBM-resident flat matrix (padded slots -> zero sentinel row)
+            x = jnp.take(table, x, axis=0)
         mask = y == PADDED_Y_VALUE
         next_rng, drop_rng, loss_rng = jax.random.split(rng, 3)
 
@@ -158,11 +162,11 @@ def make_train_step(
     if scan_steps <= 1:
         return jax.jit(one_batch, donate_argnums=(0, 1, 2))
 
-    def step(params, opt_state, rng, batches: SlateBatch):
+    def step(params, opt_state, rng, batches: SlateBatch, table=None):
         def body(carry, batch):
             params, opt_state, rng = carry
             new_p, new_o, rng, loss, n_real = one_batch(
-                params, opt_state, rng, batch
+                params, opt_state, rng, batch, table
             )
             # all-dummy padding batch: skip the optimizer step entirely
             is_real = jnp.any(batch.slate_mask)
@@ -237,8 +241,10 @@ def make_eval_fns(
     loss_kwargs = dict(loss_kwargs or {})
     metric_fns = {name: (get_metric(name), tuple(ats)) for name, ats in metrics.items()}
 
-    def step(params, rng, batch: SlateBatch):
+    def step(params, rng, batch: SlateBatch, table=None):
         x, y, indices, slate_mask = batch
+        if table is not None:
+            x = jnp.take(table, x, axis=0)  # device feature store gather
         mask = y == PADDED_Y_VALUE
         preds = forward(
             params, mdef, x, mask, indices, train=False, compute_dtype=dtype
@@ -267,6 +273,7 @@ def compute_metrics(
     params,
     batches,
     rng,
+    table=None,
 ) -> Tuple[Dict[str, float], float]:
     """Run the eval step over a batch stream; returns (metrics dict incl.
     per-slate means, mean loss). Device->host sync happens once, here."""
@@ -274,7 +281,7 @@ def compute_metrics(
     loss_total = None
     n_total = None
     for batch in batches:
-        sums, loss_sum, n_real = eval_step(params, rng, batch)
+        sums, loss_sum, n_real = eval_step(params, rng, batch, table)
         if n_total is None:
             totals = dict(sums)
             loss_total, n_total = loss_sum, n_real
@@ -327,6 +334,8 @@ def fit(
     metrics_on_train: bool = True,
     scan_steps: int = 1,
     accumulation_steps: int = 1,
+    train_feature_table=None,
+    val_feature_table=None,
 ) -> Dict[str, Any]:
     """The epoch loop (reference: allrank/training/train_utils.py:78-147).
 
@@ -446,7 +455,7 @@ def fit(
             train_stream = prefetch(train_batcher)
         for batch in train_stream:
             params, opt_state, step_rng, loss, n_real = train_step(
-                params, opt_state, step_rng, batch
+                params, opt_state, step_rng, batch, train_feature_table
             )
             # with scan_steps > 1, loss/n_real are [K] arrays — the same
             # weighted accumulation applies elementwise before the sum
@@ -456,15 +465,21 @@ def fit(
                 loss_total = loss_total + jnp.sum(loss * n_real)
                 n_total = n_total + jnp.sum(n_real)
         train_loss = float(loss_total) / float(n_total)
+        t_train = time.time() - t0
 
         eval_rng = jax.random.fold_in(rng, epoch)
         if metrics_on_train:
             train_metrics, _ = compute_metrics(
-                eval_step, params, prefetch(train_batcher), eval_rng
+                eval_step, params, prefetch(train_batcher), eval_rng,
+                table=train_feature_table,
             )
+        t_eval0 = time.time()
         val_metrics, val_loss = compute_metrics(
-            eval_step, params, prefetch(val_batcher), eval_rng
+            eval_step, params, prefetch(val_batcher), eval_rng,
+            table=val_feature_table,
         )
+        logger.info("epoch %d phases: train %.1fs, val eval %.1fs",
+                    epoch, t_train, time.time() - t_eval0)
 
         logger.info(
             "%s [%.1fs]",
