@@ -143,15 +143,27 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref,
         dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
 
 
-def _pad_len(l: int) -> int:
-    return -(-l // TILE_K) * TILE_K
+def _tile_k(l: int) -> int:
+    """K-tile width for slate length ``l``: the backward holds ~4 live
+    [Lp, Tk] fp32 blocks (P, dP, keep mask, dS) on the kernel stack, and
+    the scoped-vmem limit is 16 MB — keep Lp*Tk under ~768K elements
+    (measured: Lp=4096 @ Tk=256 needs 18.3 MB and is rejected; Tk=128
+    fits). Tk must stay a lane multiple (128)."""
+    tk = TILE_K
+    while tk > 128 and (-(-l // tk) * tk) * tk > 768 * 1024:
+        tk //= 2
+    return tk
 
 
-def _flatten(q, k, v, key_mask):
+def _pad_len(l: int, tk: int) -> int:
+    return -(-l // tk) * tk
+
+
+def _flatten(q, k, v, key_mask, tk):
     """[B, h, L, dk] -> [B*h, Lp, dk] (storage dtype kept — bf16 operands
     ride the MXU at full rate) with K-side padding masked out."""
     b, h, l, dk = q.shape
-    lp = _pad_len(l)
+    lp = _pad_len(l, tk)
     pad = lp - l
 
     def flat(x):
@@ -176,12 +188,12 @@ def tiled_slate_attention(q, k, v, key_mask, seed=None, p_drop: float = 0.0):
     return out
 
 
-def _specs(lp, dk):
+def _specs(lp, dk, tk):
     row = pl.BlockSpec((1, lp, dk), lambda g, t, *_: (g, 0, 0),
                        memory_space=pltpu.VMEM)
-    tile = pl.BlockSpec((1, TILE_K, dk), lambda g, t, *_: (g, t, 0),
+    tile = pl.BlockSpec((1, tk, dk), lambda g, t, *_: (g, t, 0),
                         memory_space=pltpu.VMEM)
-    mtile = pl.BlockSpec((1, 1, TILE_K), lambda g, t, *_: (g, 0, t),
+    mtile = pl.BlockSpec((1, 1, tk), lambda g, t, *_: (g, 0, t),
                          memory_space=pltpu.VMEM)
     vec = pl.BlockSpec((1, 1, lp), lambda g, t, *_: (g, 0, 0),
                        memory_space=pltpu.VMEM)
@@ -195,9 +207,10 @@ def _seed_arr(seed):
 
 
 def _fwd_call(q, k, v, key_mask, seed, p_drop):
-    qf, kf, vf, mf, b, h, l, lp, dk = _flatten(q, k, v, key_mask)
-    n_k = lp // TILE_K
-    row, tile, mtile, vec = _specs(lp, dk)
+    tk = _tile_k(q.shape[2])
+    qf, kf, vf, mf, b, h, l, lp, dk = _flatten(q, k, v, key_mask, tk)
+    n_k = lp // tk
+    row, tile, mtile, vec = _specs(lp, dk, tk)
     kernel = functools.partial(
         _fwd_kernel, scale=1.0 / (dk ** 0.5), n_k=n_k, p_drop=float(p_drop)
     )
@@ -230,14 +243,15 @@ def _attention_fwd(q, k, v, key_mask, seed, p_drop):
 
 def _attention_bwd(p_drop, residuals, do):
     q, k, v, key_mask, seed, lse, out = residuals
-    qf, kf, vf, mf, b, h, l, lp, dk = _flatten(q, k, v, key_mask)
-    n_k = lp // TILE_K
+    tk = _tile_k(q.shape[2])  # same width as fwd: dropout masks replay
+    qf, kf, vf, mf, b, h, l, lp, dk = _flatten(q, k, v, key_mask, tk)
+    n_k = lp // tk
     dof = jnp.pad(do.astype(q.dtype).reshape(b * h, l, dk),
                   ((0, 0), (0, lp - l), (0, 0)))
     # softmax-backward row term: D_i = rowsum(dP (.) P) = rowsum(dO (.) O)
     delta = jnp.sum(do.astype(F32) * out.astype(F32), axis=-1).reshape(b * h, 1, l)
     delta = jnp.pad(delta, ((0, 0), (0, 0), (0, lp - l)))
-    row, tile, mtile, vec = _specs(lp, dk)
+    row, tile, mtile, vec = _specs(lp, dk, tk)
     kernel = functools.partial(
         _bwd_kernel, scale=1.0 / (dk ** 0.5), n_k=n_k, p_drop=float(p_drop)
     )
