@@ -62,6 +62,47 @@ def test_single_tile_length():
     )
 
 
+def test_tile_width_shrinks_with_length():
+    """The backward keeps ~4 [Lp, Tk] fp32 blocks on the kernel stack; the
+    picker must keep Lp*Tk under the scoped-vmem budget (L=4096 @ Tk=256
+    measured 18.3 MB > the 16 MB limit) while Tk stays a lane multiple."""
+    import allrank_tpu.ops.attention_tiled as T
+
+    assert T._tile_k(240) == 256
+    assert T._tile_k(2048) == 256
+    assert T._tile_k(4096) == 128
+    for l in (240, 1024, 1308, 2048, 4096, 8192):
+        tk = T._tile_k(l)
+        lp = T._pad_len(l, tk)
+        assert tk % 128 == 0 and lp % tk == 0
+        assert lp * tk <= 768 * 1024 or tk == 128
+
+
+def test_shrunk_tile_matches_reference():
+    """Value/grad parity at a length that forces the reduced tile width."""
+    import allrank_tpu.ops.attention_tiled as T
+
+    q, k, v, mask = _data(B=1, h=1, L=80)
+    orig = T._tile_k
+    T._tile_k = lambda l: 128  # emulate the long-L narrow tile at test size
+    try:
+        def lf(q, k, v):
+            return jnp.sum(jnp.sin(tiled_slate_attention(q, k, v, mask)))
+
+        def lr(q, k, v):
+            return jnp.sum(jnp.sin(_ref(q, k, v, mask)))
+
+        with pltpu.force_tpu_interpret_mode():
+            vf, gf = jax.value_and_grad(lf, argnums=(0, 1, 2))(q, k, v)
+        vr, gr = jax.value_and_grad(lr, argnums=(0, 1, 2))(q, k, v)
+        assert abs(float(vf) - float(vr)) < 2e-5
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5)
+    finally:
+        T._tile_k = orig
+
+
 
 class TestTiledSeedSignature:
     """The kernel shares fused_slate_attention's (q, k, v, mask, seed,
