@@ -171,14 +171,11 @@ def check_tiled_lambda() -> None:
         LP.lambda_pairs_available, LT.tiled_lambda_preferred = orig
     verr = abs(float(vx) - float(vf)) / (abs(float(vx)) + 1e-12)
     gerr = float(jnp.max(jnp.abs(gx - gf)) / (jnp.max(jnp.abs(gx)) + 1e-12))
-    # value tolerance is looser than grad because the XLA side is the noisy
-    # one: fp32 pow(sigmoid, w) loses ~3 decimal digits over 650k pairs per
-    # slate, while the kernel's w*log(sigmoid) log-space chain does not —
-    # measured against an fp64 host reference at this exact shape/seed the
-    # kernel lands at rel 2.1e-6 and XLA at rel 2.4e-3. Grads (which use
-    # 1/a, not pow) agree to ~4e-7.
-    check("tiled lambda L=1308 vs XLA (value)", verr < 5e-3,
-          f"rel={verr:.2e} (XLA-side pow noise; kernel is 1e3x closer to fp64)")
+    # both paths now compute the identical log-space chain (the XLA pow
+    # form drifted rel 2.4e-3 from an fp64 reference before the rewrite);
+    # measured agreement at this shape/seed: value 7.2e-8, grad 3.1e-7
+    check("tiled lambda L=1308 vs XLA (value)", verr < 1e-5,
+          f"rel={verr:.2e}")
     check("tiled lambda L=1308 vs XLA (grad)", gerr < 1e-4,
           f"rel={gerr:.2e}")
 
