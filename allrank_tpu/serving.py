@@ -6,9 +6,15 @@ checkpoints in-process). For production ranking this module provides:
   * ``make_scorer``      — a jitted, fixed-shape ``(x, lengths) -> scores``
                            function with padding handled from per-slate doc
                            counts (the natural serve-time input; labels don't
-                           exist at serving time).
+                           exist at serving time). ``compute_dtype="bfloat16"``
+                           runs the tower at the MXU's full bf16 rate (scores
+                           and masking stay fp32).
   * ``make_ranker``      — same, returning the permutation (descending score
                            order with padding last) instead of raw scores.
+  * ``aot_compile``      — ahead-of-time lower+compile for fixed serve shapes:
+                           no first-request tracing/compile stall, and the
+                           compiled executable reports its cost/memory
+                           analysis for capacity planning.
   * ``export_scorer`` /
     ``load_scorer``      — `jax.export` StableHLO serialization: the scorer
                            (architecture + weights baked in) round-trips
@@ -33,24 +39,26 @@ def _mask_from_lengths(lengths: jnp.ndarray, slate_length: int) -> jnp.ndarray:
     return positions >= lengths[:, None].astype(jnp.int32)
 
 
-def make_scorer(params, mdef: LTRModelDef):
+def make_scorer(params, mdef: LTRModelDef, compute_dtype="float32"):
     """Jitted ``(x [B, L, F], lengths [B]) -> scores [B, L]``; padded
     positions score -inf (sort-last under any downstream ordering)."""
+    dtype = jnp.dtype(compute_dtype)
 
     @jax.jit
     def scorer(x, lengths):
         mask = _mask_from_lengths(lengths, x.shape[1])
         indices = jnp.ones(x.shape[:2], dtype=jnp.int32)
-        scores = score(params, mdef, x, mask, indices, train=False)
-        return jnp.where(mask, -jnp.inf, scores)
+        scores = score(params, mdef, x, mask, indices, train=False,
+                       compute_dtype=dtype)
+        return jnp.where(mask, -jnp.inf, scores.astype(jnp.float32))
 
     return scorer
 
 
-def make_ranker(params, mdef: LTRModelDef):
+def make_ranker(params, mdef: LTRModelDef, compute_dtype="float32"):
     """Jitted ``(x, lengths) -> order [B, L]``: document indices in
     descending score order, padded positions last."""
-    scorer = make_scorer(params, mdef)
+    scorer = make_scorer(params, mdef, compute_dtype)
 
     @jax.jit
     def ranker(x, lengths):
@@ -60,14 +68,48 @@ def make_ranker(params, mdef: LTRModelDef):
     return ranker
 
 
+def aot_compile(fn, batch_size: int, slate_length: int, n_features: int):
+    """Ahead-of-time compile a scorer/ranker for fixed serve shapes.
+
+    Returns ``(compiled, info)``: ``compiled(x, lengths)`` runs with zero
+    tracing on the hot path (first request pays no compile), and ``info``
+    carries the executable's XLA ``flops`` and ``bytes`` estimates plus
+    ``argument``/``output``/``temp`` buffer sizes for capacity planning.
+    """
+    x_s = jax.ShapeDtypeStruct((batch_size, slate_length, n_features),
+                               jnp.float32)
+    l_s = jax.ShapeDtypeStruct((batch_size,), jnp.int32)
+    lowerable = fn if hasattr(fn, "lower") else jax.jit(fn)
+    compiled = lowerable.lower(x_s, l_s).compile()
+
+    info = {}
+    try:  # backend-dependent; analysis is best-effort
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        info["flops"] = float(cost.get("flops", 0.0))
+        info["bytes_accessed"] = float(cost.get("bytes accessed", 0.0))
+    except Exception:
+        pass
+    try:
+        mem = compiled.memory_analysis()
+        for k in ("argument_size_in_bytes", "output_size_in_bytes",
+                  "temp_size_in_bytes"):
+            info[k] = int(getattr(mem, k))
+    except Exception:
+        pass
+    return compiled, info
+
+
 def export_scorer(params, mdef: LTRModelDef, slate_length: int,
-                  n_features: int, path: str, batch_size: int = 64) -> str:
+                  n_features: int, path: str, batch_size: int = 64,
+                  compute_dtype="float32") -> str:
     """Serialize the scorer (weights baked in) to a portable StableHLO
     artifact at ``path``. Shapes are fixed at export: [batch_size,
     slate_length, n_features] inputs."""
     from jax import export as jexport
 
-    scorer = make_scorer(params, mdef)
+    scorer = make_scorer(params, mdef, compute_dtype)
     exported = jexport.export(scorer)(
         jax.ShapeDtypeStruct((batch_size, slate_length, n_features),
                              jnp.float32),

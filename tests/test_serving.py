@@ -52,6 +52,33 @@ def test_ranker_orders_by_score_with_padding_last():
         assert set(order[b][n:].tolist()) == set(range(n, 6))  # padding last
 
 
+def test_bf16_scorer_tracks_fp32_and_keeps_padding_semantics():
+    mdef, params = _model()
+    s32 = make_scorer(params, mdef)
+    s16 = make_scorer(params, mdef, compute_dtype="bfloat16")
+    x = jnp.asarray(np.random.RandomState(3).randn(4, 7, 6).astype(np.float32))
+    lengths = jnp.asarray([7, 5, 2, 7], dtype=jnp.int32)
+    a, b = np.asarray(s32(x, lengths)), np.asarray(s16(x, lengths))
+    assert b.dtype == np.float32
+    valid = ~np.isneginf(a)
+    assert (np.isneginf(b) == np.isneginf(a)).all()
+    np.testing.assert_allclose(a[valid], b[valid], rtol=0.05, atol=0.05)
+
+
+def test_aot_compile_matches_jit_and_reports_info():
+    from allrank_tpu.serving import aot_compile
+
+    mdef, params = _model()
+    scorer = make_scorer(params, mdef)
+    compiled, info = aot_compile(scorer, batch_size=3, slate_length=5,
+                                 n_features=6)
+    x = jnp.asarray(np.random.RandomState(4).randn(3, 5, 6).astype(np.float32))
+    lengths = jnp.asarray([5, 4, 1], dtype=jnp.int32)
+    np.testing.assert_allclose(np.asarray(compiled(x, lengths)),
+                               np.asarray(scorer(x, lengths)), rtol=1e-6)
+    assert isinstance(info, dict)  # analysis keys are backend-best-effort
+
+
 def test_export_roundtrip(tmp_path):
     mdef, params = _model()
     scorer = make_scorer(params, mdef)
