@@ -11,6 +11,10 @@ checkpoints in-process). For production ranking this module provides:
                            and masking stay fp32).
   * ``make_ranker``      — same, returning the permutation (descending score
                            order with padding last) instead of raw scores.
+  * ``make_sharded_scorer`` — the same scorer jitted over a device mesh
+                           (batch sharded over ``data``, params replicated /
+                           tensor-sharded over ``model``) for pod-scale
+                           serving fleets.
   * ``aot_compile``      — ahead-of-time lower+compile for fixed serve shapes:
                            no first-request tracing/compile stall, and the
                            compiled executable reports its cost/memory
@@ -66,6 +70,46 @@ def make_ranker(params, mdef: LTRModelDef, compute_dtype="float32"):
                            stable=True)
 
     return ranker
+
+
+def make_sharded_scorer(params, mdef: LTRModelDef, mesh,
+                        compute_dtype="float32"):
+    """Pod-scale serving: ``(x, lengths) -> scores`` jitted over a device
+    mesh — the batch is sharded across the ``data`` axis and params are
+    replicated over ``data`` (tensor-sharded over ``model`` when the mesh
+    has one; same layout rules as training, parallel/mesh.py). XLA inserts
+    the collectives; per-request math is identical to ``make_scorer``.
+
+    The global batch must be divisible by the mesh's ``data`` axis size.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from allrank_tpu.parallel.mesh import DATA_AXIS, param_shardings
+
+    dtype = jnp.dtype(compute_dtype)
+    p_shard = param_shardings(params, mesh)
+    params_on_mesh = jax.device_put(params, p_shard)
+    data = NamedSharding(mesh, P(DATA_AXIS))
+
+    def _score(p, x, lengths):
+        mask = _mask_from_lengths(lengths, x.shape[1])
+        indices = jnp.ones(x.shape[:2], dtype=jnp.int32)
+        s = score(p, mdef, x, mask, indices, train=False,
+                  compute_dtype=dtype)
+        return jnp.where(mask, -jnp.inf, s.astype(jnp.float32))
+
+    jitted = jax.jit(_score, in_shardings=(p_shard, data, data),
+                     out_shardings=data)
+    n_data = mesh.shape[DATA_AXIS]
+
+    def scorer(x, lengths):
+        if x.shape[0] % n_data:
+            raise ValueError(
+                f"batch {x.shape[0]} not divisible by data axis {n_data}")
+        with mesh:
+            return jitted(params_on_mesh, x, lengths)
+
+    return scorer
 
 
 def aot_compile(fn, batch_size: int, slate_length: int, n_features: int):

@@ -79,6 +79,46 @@ def test_aot_compile_matches_jit_and_reports_info():
     assert isinstance(info, dict)  # analysis keys are backend-best-effort
 
 
+def test_sharded_scorer_matches_single_device():
+    from allrank_tpu.config import (
+        ParallelConfig,
+        PositionalEncodingConfig,
+        TransformerConfig,
+    )
+    from allrank_tpu.parallel.mesh import make_mesh
+    from allrank_tpu.serving import make_sharded_scorer
+
+    F = 6
+    mdef = make_model(
+        ModelConfig(
+            fc_model=FCConfig(sizes=[16], input_norm=False, activation="ReLU",
+                              dropout=None),
+            transformer=TransformerConfig(
+                N=1, d_ff=32, h=2,
+                positional_encoding=PositionalEncodingConfig(
+                    strategy="fixed", max_indices=16),
+                dropout=0.0),
+            post_model=PostModelConfig(d_output=1),
+        ), F,
+    )
+    params = init_params(jax.random.PRNGKey(0), mdef)
+    x = jnp.asarray(np.random.RandomState(5).randn(8, 5, F).astype(np.float32))
+    lengths = jnp.asarray([5, 3, 1, 5, 4, 2, 5, 5], dtype=jnp.int32)
+    ref = np.asarray(make_scorer(params, mdef)(x, lengths))
+
+    for pcfg in (ParallelConfig(data=-1, model=1),    # 8-way DP
+                 ParallelConfig(data=4, model=2)):    # DP x TP
+        mesh = make_mesh(pcfg)
+        sharded = make_sharded_scorer(params, mdef, mesh)
+        got = np.asarray(sharded(x, lengths))
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
+    import pytest
+    with pytest.raises(ValueError):
+        make_sharded_scorer(params, mdef, make_mesh(ParallelConfig()))(
+            x[:3], lengths[:3])
+
+
 def test_export_roundtrip(tmp_path):
     mdef, params = _model()
     scorer = make_scorer(params, mdef)
