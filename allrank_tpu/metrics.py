@@ -140,10 +140,83 @@ def mrr(
     return result * within_at
 
 
+def map_(
+    y_pred: jnp.ndarray,
+    y_true: jnp.ndarray,
+    ats: Optional[Sequence[int]] = None,
+    padding_indicator: int = PADDED_Y_VALUE,
+    relevancy_threshold: float = 1.0,
+    filler_value: float = 1.0,
+) -> jnp.ndarray:
+    """Mean Average Precision at each cutoff (beyond the reference's zoo).
+
+    Graded labels binarize at ``relevancy_threshold`` (relevant iff
+    ``y_true >= threshold``; padded docs are never relevant). AP@k divides
+    by ``min(R, k)`` where R is the slate's relevant count, so a slate with
+    every top-k position relevant scores 1.0. Slates with no relevant docs
+    score ``filler_value`` — the same blank-query convention as ``ndcg``.
+    """
+    y_pred = jnp.asarray(y_pred, dtype=jnp.float32)
+    y_true = jnp.asarray(y_true, dtype=jnp.float32)
+    slate_length = y_true.shape[-1]
+    if ats is None:
+        ats = [slate_length]
+    ats = [min(int(at), slate_length) for at in ats]
+
+    true_sorted = _true_sorted_by_preds(y_pred, y_true, padding_indicator)
+    rel = (true_sorted >= relevancy_threshold).astype(jnp.float32)
+    cum_rel = jnp.cumsum(rel, axis=-1)
+    prec_at_i = cum_rel / (jnp.arange(slate_length, dtype=jnp.float32) + 1.0)
+    ap_cum = jnp.cumsum(rel * prec_at_i, axis=-1)
+
+    at_idx = jnp.asarray([at - 1 for at in ats], dtype=jnp.int32)
+    total_rel = cum_rel[:, -1:]
+    denom = jnp.minimum(total_rel, jnp.asarray(ats, dtype=jnp.float32)[None, :])
+    ap = ap_cum[:, at_idx] / jnp.maximum(denom, 1.0)
+    return jnp.where(total_rel == 0.0, filler_value, ap)
+
+
+def err(
+    y_pred: jnp.ndarray,
+    y_true: jnp.ndarray,
+    ats: Optional[Sequence[int]] = None,
+    padding_indicator: int = PADDED_Y_VALUE,
+    max_relevance: float = 4.0,
+) -> jnp.ndarray:
+    """Expected Reciprocal Rank (Chapelle et al., CIKM 2009) at each cutoff
+    (beyond the reference's zoo). Per-doc stop probability
+    ``R_i = (2^y_i - 1) / 2^max_relevance`` (WEB30K grades: max 4); padded
+    docs stop with probability 0.
+    """
+    y_pred = jnp.asarray(y_pred, dtype=jnp.float32)
+    y_true = jnp.asarray(y_true, dtype=jnp.float32)
+    slate_length = y_true.shape[-1]
+    if ats is None:
+        ats = [slate_length]
+    ats = [min(int(at), slate_length) for at in ats]
+
+    true_sorted = _true_sorted_by_preds(y_pred, y_true, padding_indicator)
+    stop = (jnp.power(2.0, true_sorted) - 1.0) / (2.0 ** max_relevance)
+    # exclusive prefix product of continue-probabilities: P(reach rank i)
+    reach = jnp.cumprod(
+        jnp.concatenate(
+            [jnp.ones_like(stop[:, :1]), (1.0 - stop)[:, :-1]], axis=-1
+        ),
+        axis=-1,
+    )
+    inv_rank = 1.0 / (jnp.arange(slate_length, dtype=jnp.float32) + 1.0)
+    err_cum = jnp.cumsum(inv_rank * stop * reach, axis=-1)
+
+    at_idx = jnp.asarray([at - 1 for at in ats], dtype=jnp.int32)
+    return err_cum[:, at_idx]
+
+
 METRICS = {
     "ndcg": ndcg,
     "dcg": dcg,
     "mrr": mrr,
+    "map": map_,
+    "err": err,
 }
 
 
