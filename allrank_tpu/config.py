@@ -74,6 +74,10 @@ class DataConfig:
     # feed steps [B, L] int32 gather indices instead of [B, L, F] rows —
     # eliminates the per-step host->device feature stream (the training
     # bottleneck on slow interconnects); slate-fixing randomness unchanged
+    device_cache_dtype: str = "auto"  # store dtype for the HBM feature
+    # table: "auto" follows training.compute_dtype (bf16 table for bf16
+    # runs — bit-identical downstream, half the upload and resident HBM);
+    # or explicit "float32"/"bfloat16"
 
 
 @dataclass

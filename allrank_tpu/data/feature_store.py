@@ -36,13 +36,26 @@ class DeviceFeatureStore:
     padded slots (== dataset doc count).
     """
 
-    def __init__(self, dataset, mesh=None):
+    def __init__(self, dataset, mesh=None, dtype=None):
         import jax
 
         flat_X, _flat_y, _offsets, _index_map = dataset.flat_slate_buffers()
         table = np.concatenate(
             [flat_X, np.zeros((1, flat_X.shape[1]), flat_X.dtype)], axis=0
         )
+        if dtype is not None:
+            # bf16 store for bf16-compute runs: the tower casts features to
+            # the compute dtype right after the gather anyway (factory
+            # prepare_for_output), and fp32->bf16 rounding commutes with the
+            # gather — downstream math is bit-identical while the one-time
+            # upload and resident HBM halve.
+            import ml_dtypes
+
+            np_dtype = (
+                ml_dtypes.bfloat16 if str(dtype) in ("bfloat16", "bf16")
+                else np.dtype(dtype)
+            )
+            table = table.astype(np_dtype)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -50,3 +63,13 @@ class DeviceFeatureStore:
         else:
             self.table = jax.device_put(table)
         self.sentinel = int(flat_X.shape[0])
+
+
+def resolve_store_dtype(device_cache_dtype: str, compute_dtype: str):
+    """Map the ``data.device_cache_dtype`` config knob to a concrete store
+    dtype. ``"auto"`` follows the training compute dtype (bf16 table for
+    bf16 runs — bit-identical downstream); explicit values pass through;
+    fp32 compute keeps an fp32 store."""
+    if device_cache_dtype and device_cache_dtype != "auto":
+        return device_cache_dtype
+    return "bfloat16" if str(compute_dtype) == "bfloat16" else None

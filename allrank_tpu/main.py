@@ -120,13 +120,22 @@ def run(args: Namespace = None) -> dict:
     device_cache = bool(getattr(config.data, "device_cache", False))
     train_store = val_store = None
     if device_cache:
-        from allrank_tpu.data.feature_store import DeviceFeatureStore
+        from allrank_tpu.data.feature_store import (
+            DeviceFeatureStore,
+            resolve_store_dtype,
+        )
 
-        train_store = DeviceFeatureStore(train_ds, mesh)
-        val_store = DeviceFeatureStore(val_ds, mesh)
+        store_dtype = resolve_store_dtype(
+            getattr(config.data, "device_cache_dtype", "auto"),
+            config.training.compute_dtype,
+        )
+        train_store = DeviceFeatureStore(train_ds, mesh, dtype=store_dtype)
+        val_store = DeviceFeatureStore(val_ds, mesh, dtype=store_dtype)
         logger.info(
-            "device feature store: train %s, val %s rows resident in HBM",
+            "device feature store: train %s, val %s rows resident in HBM"
+            " (dtype %s)",
             train_store.sentinel, val_store.sentinel,
+            store_dtype or "float32",
         )
     train_batcher = SlateBatcher(
         train_ds, train_len, global_batch, shuffle=True,

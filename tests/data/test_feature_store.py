@@ -130,3 +130,37 @@ def test_fit_with_feature_store_matches_direct():
     cached = run(True)
     assert cached["val_metrics"] == direct["val_metrics"]
     assert cached["train_metrics"] == direct["train_metrics"]
+
+
+def test_bf16_store_bit_identical_under_bf16_compute():
+    """A bf16 feature table composed with the step's own bf16 cast is
+    bit-identical to gathering fp32 and casting (rounding commutes with
+    gather), while the table is half the bytes."""
+    import jax
+    import jax.numpy as jnp
+
+    from allrank_tpu.data.feature_store import resolve_store_dtype
+
+    ds = _dataset(n_queries=9, seed=11, max_len=7, n_features=6)
+    f32 = DeviceFeatureStore(ds)
+    bf16 = DeviceFeatureStore(ds, dtype="bfloat16")
+    assert bf16.table.dtype == jnp.bfloat16
+    assert bf16.table.nbytes * 2 == f32.table.nbytes
+    assert bf16.sentinel == f32.sentinel
+
+    idx = np.array([[0, 3, 5, bf16.sentinel], [2, 2, 1, 4]], dtype=np.int32)
+
+    @jax.jit
+    def gather_cast(table, idx):
+        return jnp.take(table, idx, axis=0).astype(jnp.bfloat16)
+
+    np.testing.assert_array_equal(
+        np.asarray(gather_cast(f32.table, idx), dtype=np.float32),
+        np.asarray(gather_cast(bf16.table, idx), dtype=np.float32),
+    )
+
+    # knob resolution: auto follows compute dtype; explicit passes through
+    assert resolve_store_dtype("auto", "bfloat16") == "bfloat16"
+    assert resolve_store_dtype("auto", "float32") is None
+    assert resolve_store_dtype("float32", "bfloat16") == "float32"
+    assert resolve_store_dtype("bfloat16", "float32") == "bfloat16"
