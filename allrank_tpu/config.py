@@ -87,6 +87,9 @@ class TrainingConfig:
     early_stopping_patience: int = 0
     compute_dtype: str = "float32"
     checkpoint_every: Optional[int] = None  # mid-training checkpoint cadence
+    checkpoint_backend: str = "npz"  # "npz" (portable, synchronous) or
+    # "orbax" (async sharded snapshots: each process writes its own shards,
+    # the epoch loop never blocks on the write — the pod-scale choice)
     resume: bool = False  # resume from <output_dir>/partial if present
     profiler_trace_dir: Optional[str] = None  # jax.profiler trace of epoch 1
     metrics_on_train: bool = True  # False skips the per-epoch train-split

@@ -194,6 +194,7 @@ def run(args: Namespace = None) -> dict:
             batch_shardings=batch_shardings(mesh),
             compute_dtype=config.training.compute_dtype,
             checkpoint_every=config.training.checkpoint_every,
+            checkpoint_backend=config.training.checkpoint_backend,
             resume=config.training.resume,
             profiler_trace_dir=config.training.profiler_trace_dir,
             metrics_on_train=config.training.metrics_on_train,

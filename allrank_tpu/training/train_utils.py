@@ -329,6 +329,7 @@ def fit(
     seed: int = 42,
     checkpoint_name: str = "model.npz",
     checkpoint_every: Optional[int] = None,
+    checkpoint_backend: str = "npz",
     resume: bool = False,
     profiler_trace_dir: Optional[str] = None,
     metrics_on_train: bool = True,
@@ -381,6 +382,16 @@ def fit(
     import os
 
     partial_dir = os.path.join(output_dir, "partial") if output_dir else None
+    orbax_ckptr = None
+    if checkpoint_backend == "orbax":
+        from allrank_tpu.training.orbax_checkpoint import OrbaxTrainCheckpointer
+
+        orbax_ckptr = OrbaxTrainCheckpointer()
+    elif checkpoint_backend != "npz":
+        raise ValueError(
+            f"unknown checkpoint_backend '{checkpoint_backend}'"
+            " (expected 'npz' or 'orbax')"
+        )
     start_epoch = 0
     if resume and partial_dir and os.path.exists(
         os.path.join(partial_dir, "loop_state.json")
@@ -389,10 +400,16 @@ def fit(
 
         from allrank_tpu.training.checkpoint import load_params as _load
 
-        params = _load(params, os.path.join(partial_dir, "params.npz"))
-        opt_state = _load(
-            opt_state, os.path.join(partial_dir, "opt_state.npz"), strict=False
-        )
+        if orbax_ckptr is not None and orbax_ckptr.exists(partial_dir):
+            params, opt_state = orbax_ckptr.restore(
+                partial_dir, params, opt_state
+            )
+        else:
+            params = _load(params, os.path.join(partial_dir, "params.npz"))
+            opt_state = _load(
+                opt_state, os.path.join(partial_dir, "opt_state.npz"),
+                strict=False,
+            )
         with open(os.path.join(partial_dir, "loop_state.json")) as f:
             loop_state = json.load(f)
         start_epoch = loop_state["epoch"] + 1
@@ -411,8 +428,13 @@ def fit(
         from allrank_tpu.training.checkpoint import save_opt_state, save_params as _save
 
         os.makedirs(partial_dir, exist_ok=True)
-        _save(params, os.path.join(partial_dir, "params.npz"))
-        save_opt_state(opt_state, os.path.join(partial_dir, "opt_state.npz"))
+        if orbax_ckptr is not None:
+            # async: device->host copies happen here, the write continues in
+            # the background while the epoch loop keeps stepping
+            orbax_ckptr.save(partial_dir, params, opt_state)
+        else:
+            _save(params, os.path.join(partial_dir, "params.npz"))
+            save_opt_state(opt_state, os.path.join(partial_dir, "opt_state.npz"))
         with open(os.path.join(partial_dir, "loop_state.json"), "w") as f:
             json.dump({
                 "epoch": epoch,
@@ -522,6 +544,8 @@ def fit(
 
     if tensorboard_summary_writer is not None:
         tensorboard_summary_writer.close_all_writers()
+    if orbax_ckptr is not None:
+        orbax_ckptr.wait_until_finished()  # make the last async save durable
     if output_dir is not None and is_main_process:
         path = save_params(params, os.path.join(output_dir, checkpoint_name))
         logger.info("saved final model to %s", path)

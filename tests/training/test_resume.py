@@ -80,10 +80,15 @@ def test_resume_continues_and_matches_uninterrupted_run(tmp_path):
     assert abs(resumed["val_metrics"]["ndcg_5"] - full["val_metrics"]["ndcg_5"]) < 0.05
 
 
-def test_resume_is_bit_reproducible_with_rng_loss(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("backend", ["npz", "orbax"])
+def test_resume_is_bit_reproducible_with_rng_loss(tmp_path, backend):
     """The training PRNG stream is checkpointed: a resumed run of an
     rng-consuming loss (listMLE's tie shuffle) matches the uninterrupted run
-    parameter-for-parameter."""
+    parameter-for-parameter — under both checkpoint backends (npz and the
+    async sharded orbax one)."""
     ds, mdef = _setup()
     full_dir = str(tmp_path / "full")
     os.makedirs(full_dir)
@@ -91,9 +96,18 @@ def test_resume_is_bit_reproducible_with_rng_loss(tmp_path):
 
     part_dir = str(tmp_path / "interrupted")
     os.makedirs(part_dir)
-    _fit(ds, mdef, part_dir, epochs=2, loss="listMLE", checkpoint_every=2)
+    _fit(ds, mdef, part_dir, epochs=2, loss="listMLE", checkpoint_every=2,
+         checkpoint_backend=backend)
+    if backend == "orbax":
+        from allrank_tpu.training.orbax_checkpoint import (
+            OrbaxTrainCheckpointer,
+        )
+
+        assert OrbaxTrainCheckpointer.exists(
+            os.path.join(part_dir, "partial"))
     resumed = _fit(ds, mdef, part_dir, epochs=4, loss="listMLE",
-                   checkpoint_every=2, resume=True)
+                   checkpoint_every=2, resume=True,
+                   checkpoint_backend=backend)
 
     for a, b in zip(jax.tree.leaves(full["params"]),
                     jax.tree.leaves(resumed["params"])):
