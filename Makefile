@@ -7,12 +7,15 @@ CXXFLAGS ?= -O3 -std=c++17 -shared -fPIC -pthread -Wall
 
 all: native
 
-native: allrank_tpu/native/libsvm_parser.so allrank_tpu/native/slate_assembler.so
+native: allrank_tpu/native/libsvm_parser.so allrank_tpu/native/slate_assembler.so allrank_tpu/native/libsvm_writer.so
 
 allrank_tpu/native/libsvm_parser.so: allrank_tpu/native/libsvm_parser.cpp
 	$(CXX) $(CXXFLAGS) -o $@ $<
 
 allrank_tpu/native/slate_assembler.so: allrank_tpu/native/slate_assembler.cpp
+	$(CXX) $(CXXFLAGS) -o $@ $<
+
+allrank_tpu/native/libsvm_writer.so: allrank_tpu/native/libsvm_writer.cpp
 	$(CXX) $(CXXFLAGS) -o $@ $<
 
 tests:
@@ -31,5 +34,5 @@ wheel:
 ci: native lint tests
 
 clean:
-	rm -f allrank_tpu/native/libsvm_parser.so
+	rm -f allrank_tpu/native/*.so
 	rm -rf dist build *.egg-info

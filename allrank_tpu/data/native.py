@@ -143,3 +143,59 @@ def assemble_rows_native(
         out_x, out_y, out_idx, out_mask.view(np.uint8),
     )
     return True
+
+
+_WRITER = None
+_WRITER_TRIED = False
+
+
+def _load_writer():
+    global _WRITER, _WRITER_TRIED
+    if _WRITER_TRIED:
+        return _WRITER
+    _WRITER_TRIED = True
+    if os.environ.get("ALLRANK_TPU_NO_NATIVE_WRITER"):
+        return None
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, "native", "libsvm_writer.so")
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.write_svmlight.restype = ctypes.c_int64
+        lib.write_svmlight.argtypes = [
+            np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(dtype=np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_char_p,
+            ctypes.c_int64,
+        ]
+        _WRITER = lib
+    except OSError:
+        _WRITER = None
+    return _WRITER
+
+
+def write_svmlight_native(
+    X: np.ndarray, y: np.ndarray, qid: np.ndarray, path: str,
+    n_threads: int = 0,
+) -> bool:
+    """Write with the C++ writer (native/libsvm_writer.cpp); False if the
+    shared library is unavailable (caller falls back to sklearn).
+
+    Same line grammar as sklearn's dump_svmlight_file defaults (zero-based
+    indices, zeros omitted); float values in shortest round-trip form."""
+    lib = _load_writer()
+    if lib is None:
+        return False
+    X = np.ascontiguousarray(X, dtype=np.float32)
+    y = np.ascontiguousarray(y, dtype=np.float32)
+    qid = np.ascontiguousarray(qid, dtype=np.int64)
+    if n_threads <= 0:
+        n_threads = min(8, os.cpu_count() or 1)
+    rc = lib.write_svmlight(
+        X, y, qid, X.shape[0], X.shape[1], path.encode(), n_threads
+    )
+    return rc == 0

@@ -86,3 +86,52 @@ def test_native_matches_sklearn_on_generated_dataset(tmp_path):
 @needs_native
 def test_native_missing_file_returns_none():
     assert parse_svmlight_native("/no/such/file.txt") is None
+
+
+class TestNativeWriter:
+    """The C++ writer must be value-exact and line-grammar-compatible with
+    sklearn's dump (zero-based indices, zeros omitted)."""
+
+    def _data(self, n=50, f=7, seed=0):
+        rng = np.random.RandomState(seed)
+        X = rng.randn(n, f).astype(np.float32)
+        X[rng.rand(n, f) < 0.1] = 0.0  # exercise the zero-skip path
+        y = rng.randint(0, 5, n).astype(np.float32)
+        qid = np.repeat(np.arange(n // 5), 5).astype(np.int64)
+        return X, y, qid
+
+    def test_roundtrip_exact_vs_sklearn(self, tmp_path):
+        from sklearn.datasets import load_svmlight_file
+
+        from allrank_tpu.data.native import write_svmlight_native
+
+        X, y, qid = self._data()
+        native_path = str(tmp_path / "native.txt")
+        assert write_svmlight_native(X, y, qid, native_path), (
+            "native writer not built — run `make native`"
+        )
+        Xn, yn, qn = load_svmlight_file(native_path, query_id=True,
+                                        n_features=X.shape[1])
+        np.testing.assert_array_equal(
+            np.asarray(Xn.todense(), dtype=np.float32), X)
+        np.testing.assert_array_equal(yn.astype(np.float32), y)
+        np.testing.assert_array_equal(qn, qid)
+
+    def test_write_to_libsvm_strips_padding_via_native(self, tmp_path):
+        from sklearn.datasets import load_svmlight_file
+
+        from allrank_tpu.data.saving import write_to_libsvm_without_masked
+
+        rng = np.random.RandomState(1)
+        slates_x = [rng.randn(4, 5).astype(np.float32) for _ in range(3)]
+        slates_y = [np.array([2.0, 0.0, -1.0, -1.0], dtype=np.float32),
+                    np.array([1.0, 1.0, 3.0, -1.0], dtype=np.float32),
+                    np.array([0.0, 4.0, 2.0, 1.0], dtype=np.float32)]
+        path = str(tmp_path / "out.txt")
+        write_to_libsvm_without_masked(path, slates_x, slates_y)
+        X, y, qid = load_svmlight_file(path, query_id=True, n_features=5)
+        assert X.shape[0] == 2 + 3 + 4
+        np.testing.assert_array_equal(qid, [0, 0, 1, 1, 1, 2, 2, 2, 2])
+        np.testing.assert_array_equal(
+            np.asarray(X.todense(), dtype=np.float32)[:2], slates_x[0][:2])
+        assert (y != -1.0).all()
