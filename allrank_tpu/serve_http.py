@@ -1,0 +1,204 @@
+"""Production scoring service: dynamic batching + HTTP front (stdlib only).
+
+The serving module (serving.py) gives compiled `(x, lengths) -> scores`
+executables; this layer turns them into a deployable service (no reference
+analog — the reference has no serving story):
+
+  * ``SlateScoringService`` — a dynamic batcher: concurrent requests queue
+    up, a worker thread packs up to ``batch_size`` slates (padding each to
+    the serve slate length) into ONE device call per wave, waiting at most
+    ``max_wait_ms`` after the first request of a wave. TPU steps want big
+    batches; request threads want latency — this trades between them the
+    way production rankers do.
+  * ``run_server`` / ``python -m allrank_tpu.serve_http`` — a threaded HTTP
+    endpoint: ``POST /score`` with ``{"slate": [[f...], ...]}`` returns
+    ``{"scores": [...]}``; ``GET /healthz`` for probes.
+
+The device call is AOT-compiled at startup (serving.aot_compile), so the
+first request pays no trace/compile stall.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+from concurrent.futures import Future
+from typing import Optional
+
+import numpy as np
+
+
+class SlateScoringService:
+    """Thread-safe dynamic batcher over a compiled scorer.
+
+    ``submit(x [n_docs, F]) -> Future[np.ndarray [n_docs]]``; slates longer
+    than ``slate_length`` are rejected (rank the top-L upstream or raise the
+    serve shape — truncation would silently change results).
+    """
+
+    def __init__(self, params, mdef, slate_length: int, n_features: int,
+                 batch_size: int = 64, max_wait_ms: float = 5.0,
+                 compute_dtype: str = "bfloat16"):
+        from allrank_tpu.serving import aot_compile, make_scorer
+
+        self.slate_length = int(slate_length)
+        self.n_features = int(n_features)
+        self.batch_size = int(batch_size)
+        self.max_wait_s = float(max_wait_ms) / 1e3
+        scorer = make_scorer(params, mdef, compute_dtype)
+        self._compiled, self.executable_info = aot_compile(
+            scorer, self.batch_size, self.slate_length, self.n_features
+        )
+        self._queue: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    def submit(self, x: np.ndarray) -> Future:
+        x = np.asarray(x, dtype=np.float32)
+        if x.ndim != 2 or x.shape[1] != self.n_features:
+            raise ValueError(
+                f"slate must be [n_docs, {self.n_features}], got {x.shape}")
+        if x.shape[0] > self.slate_length:
+            raise ValueError(
+                f"slate of {x.shape[0]} docs exceeds serve length "
+                f"{self.slate_length}")
+        if x.shape[0] == 0:
+            raise ValueError("empty slate")
+        fut: Future = Future()
+        self._queue.put((x, fut))
+        return fut
+
+    def score(self, x: np.ndarray, timeout: Optional[float] = None):
+        """Blocking convenience wrapper around ``submit``."""
+        return self.submit(x).result(timeout=timeout)
+
+    def close(self) -> None:
+        self._stop.set()
+        self._worker.join(timeout=5)
+
+    # -- worker ------------------------------------------------------------
+
+    def _collect_wave(self):
+        try:
+            first = self._queue.get(timeout=0.05)
+        except queue.Empty:
+            return []
+        wave = [first]
+        deadline = self.max_wait_s
+        import time
+
+        t0 = time.perf_counter()
+        while len(wave) < self.batch_size:
+            remaining = deadline - (time.perf_counter() - t0)
+            if remaining <= 0:
+                break
+            try:
+                wave.append(self._queue.get(timeout=remaining))
+            except queue.Empty:
+                break
+        return wave
+
+    def _loop(self) -> None:
+        B, L, F = self.batch_size, self.slate_length, self.n_features
+        while not self._stop.is_set():
+            wave = self._collect_wave()
+            if not wave:
+                continue
+            xb = np.zeros((B, L, F), dtype=np.float32)
+            lengths = np.zeros(B, dtype=np.int32)
+            for i, (x, _) in enumerate(wave):
+                n = x.shape[0]
+                xb[i, :n] = x
+                lengths[i] = n
+            try:
+                scores = np.asarray(self._compiled(xb, lengths))
+                for i, (x, fut) in enumerate(wave):
+                    fut.set_result(scores[i, : x.shape[0]].copy())
+            except Exception as exc:  # device failure -> fail the wave
+                for _, fut in wave:
+                    if not fut.done():
+                        fut.set_exception(exc)
+
+
+def run_server(service: SlateScoringService, port: int, host: str = ""):
+    """Serve ``POST /score`` / ``GET /healthz``; returns the threaded
+    HTTPServer (caller runs ``serve_forever`` or uses it in tests)."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *args):  # route through our logger instead
+            pass
+
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"status": "ok",
+                                  "slate_length": service.slate_length,
+                                  "n_features": service.n_features})
+            else:
+                self._reply(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/score":
+                self._reply(404, {"error": "not found"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length))
+                slate = np.asarray(req["slate"], dtype=np.float32)
+                scores = service.score(slate, timeout=30.0)
+                self._reply(200, {"scores": [float(s) for s in scores]})
+            except (KeyError, ValueError, json.JSONDecodeError) as exc:
+                self._reply(400, {"error": str(exc)})
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main() -> None:
+    from argparse import ArgumentParser
+
+    import jax
+
+    from allrank_tpu.config import Config
+    from allrank_tpu.models.factory import init_params, make_model
+    from allrank_tpu.training.checkpoint import load_params
+    from allrank_tpu.utils.ltr_logging import get_logger
+
+    ap = ArgumentParser("allRank-tpu scoring service")
+    ap.add_argument("--config-file-name", required=True)
+    ap.add_argument("--input-model-path", required=True)
+    ap.add_argument("--n-features", type=int, required=True,
+                    help="feature dimension the model was trained with")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--max-wait-ms", type=float, default=5.0)
+    ap.add_argument("--compute-dtype", default="bfloat16")
+    args = ap.parse_args()
+
+    config = Config.from_json(args.config_file_name)
+    mdef = make_model(config.model, args.n_features)
+    params = load_params(init_params(jax.random.PRNGKey(42), mdef),
+                         args.input_model_path)
+    service = SlateScoringService(
+        params, mdef, config.data.slate_length, args.n_features,
+        batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
+        compute_dtype=args.compute_dtype,
+    )
+    logger = get_logger()
+    logger.info("scoring service on :%d (batch %d, wait %.1f ms, %s): %s",
+                args.port, args.batch_size, args.max_wait_ms,
+                args.compute_dtype, service.executable_info)
+    run_server(service, args.port).serve_forever()
+
+
+if __name__ == "__main__":
+    main()

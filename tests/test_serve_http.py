@@ -1,0 +1,111 @@
+"""Scoring service: dynamic batching correctness + HTTP round trip."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+
+from allrank_tpu.config import FCConfig, ModelConfig, PostModelConfig
+from allrank_tpu.models.factory import init_params, make_model
+from allrank_tpu.serve_http import SlateScoringService, run_server
+from allrank_tpu.serving import make_scorer
+
+F, L = 6, 8
+
+
+def _model():
+    mdef = make_model(
+        ModelConfig(
+            fc_model=FCConfig(sizes=[8], input_norm=False, activation="ReLU",
+                              dropout=None),
+            transformer=None,
+            post_model=PostModelConfig(d_output=1),
+        ), F,
+    )
+    return mdef, init_params(jax.random.PRNGKey(0), mdef)
+
+
+def test_batched_scores_match_direct_scorer():
+    mdef, params = _model()
+    service = SlateScoringService(params, mdef, L, F, batch_size=4,
+                                  max_wait_ms=20, compute_dtype="float32")
+    try:
+        rng = np.random.RandomState(0)
+        slates = [rng.randn(n, F).astype(np.float32)
+                  for n in (3, 8, 1, 5, 8, 2, 7, 4)]
+        # submit concurrently so waves actually pack multiple requests
+        futures = [service.submit(s) for s in slates]
+        got = [f.result(timeout=30) for f in futures]
+
+        scorer = make_scorer(params, mdef, "float32")
+        for s, g in zip(slates, got):
+            xb = np.zeros((1, L, F), dtype=np.float32)
+            xb[0, : s.shape[0]] = s
+            ref = np.asarray(scorer(xb, np.asarray([s.shape[0]],
+                                                   dtype=np.int32)))
+            np.testing.assert_allclose(g, ref[0, : s.shape[0]], rtol=1e-5,
+                                       atol=1e-6)
+            assert g.shape == (s.shape[0],)
+    finally:
+        service.close()
+
+
+def test_rejects_bad_slates():
+    import pytest
+
+    mdef, params = _model()
+    service = SlateScoringService(params, mdef, L, F, batch_size=2,
+                                  max_wait_ms=1, compute_dtype="float32")
+    try:
+        with pytest.raises(ValueError, match="exceeds serve length"):
+            service.submit(np.zeros((L + 1, F), dtype=np.float32))
+        with pytest.raises(ValueError, match="must be"):
+            service.submit(np.zeros((3, F + 1), dtype=np.float32))
+        with pytest.raises(ValueError, match="empty"):
+            service.submit(np.zeros((0, F), dtype=np.float32))
+    finally:
+        service.close()
+
+
+def test_http_round_trip():
+    mdef, params = _model()
+    service = SlateScoringService(params, mdef, L, F, batch_size=4,
+                                  max_wait_ms=2, compute_dtype="float32")
+    server = run_server(service, port=0, host="127.0.0.1")
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/healthz", timeout=10
+        ) as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok" and health["slate_length"] == L
+
+        slate = np.random.RandomState(1).randn(5, F).astype(np.float32)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/score",
+            data=json.dumps({"slate": slate.tolist()}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            scores = json.loads(r.read())["scores"]
+        assert len(scores) == 5
+        ref = service.score(slate, timeout=30)
+        np.testing.assert_allclose(scores, ref, rtol=1e-5, atol=1e-6)
+
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/score", data=b"{}",
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=10)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+        service.close()
