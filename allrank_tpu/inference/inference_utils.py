@@ -108,6 +108,93 @@ def metrics_on_clicked_slates(
         }
 
 
+def make_rank_ids_step(mdef: LTRModelDef, click_fn=None):
+    """Index-mode ranking: ONE jitted program gathering features from the
+    HBM-resident store and returning only the ranked ROW-ID permutation
+    (plus clicks when ``click_fn`` is given).
+
+    The materializing steps above ship [B, L, F] features host->device and
+    the ranked [B, L, F] back — at WEB30K-eval shapes that is ~4.5 GB each
+    way per split. Here features cross once (the store upload) and each
+    batch moves two [B, L] matrices; the host re-materializes ranked rows
+    from its own flat feature array ("move indices, not features",
+    ARCHITECTURE.md)."""
+
+    def step(params, table, idx, y, rng):
+        x = jnp.take(table, idx, axis=0)
+        mask = y == PADDED_Y_VALUE
+        indices = jnp.ones_like(y, dtype=jnp.int32)
+        scores = score(params, mdef, x, mask, indices, train=False)
+        scores = jnp.where(mask, -jnp.inf, scores)
+        order = jnp.argsort(scores, axis=-1, descending=True, stable=True)
+        ids_ranked = jnp.take_along_axis(idx, order, axis=1)
+        y_ranked = jnp.take_along_axis(y, order, axis=1)
+        if click_fn is None:
+            return ids_ranked, y_ranked
+        return ids_ranked, y_ranked, click_fn(rng, y_ranked)
+
+    return jax.jit(step)
+
+
+def _indexed_rank_loop(
+    dataset, slate_length: int, params, mdef: LTRModelDef, batch_size: int,
+    click_fn=None, seed: int = 42,
+):
+    """Shared driver for the index-mode paths: yields per-real-slate
+    (X_ranked [L, F], y_or_clicks [L]) with padding conventions identical to
+    the materializing steps."""
+    from allrank_tpu.data.feature_store import DeviceFeatureStore
+
+    store = DeviceFeatureStore(dataset)
+    flat_X = dataset.flat_slate_buffers()[0]
+    batcher = SlateBatcher(dataset, slate_length, batch_size, shuffle=False,
+                           emit_row_indices=True)
+    step = make_rank_ids_step(mdef, click_fn)
+    rng = jax.random.PRNGKey(seed)
+    n_feat = flat_X.shape[1]
+    for i, batch in enumerate(batcher):
+        out = step(params, store.table, batch.x, batch.y,
+                   jax.random.fold_in(rng, i))
+        ids_np = np.asarray(out[0])
+        labels_np = np.asarray(out[-1])  # y_ranked, or clicks when click_fn
+        for row in np.flatnonzero(batch.slate_mask):
+            ids_row = ids_np[row]
+            valid = ids_row != store.sentinel
+            n = int(valid.sum())
+            x_slate = np.zeros((slate_length, n_feat), dtype=np.float32)
+            x_slate[:n] = flat_X[ids_row[:n]]
+            yield x_slate, labels_np[row]
+
+
+def rank_slates_dataset_indexed(
+    dataset, slate_length: int, params, mdef: LTRModelDef, batch_size: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Index-mode twin of ``rank_slates_dataset`` (same outputs; features
+    never round-trip the interconnect)."""
+    xs, ys = [], []
+    for x_slate, y_slate in _indexed_rank_loop(
+        dataset, slate_length, params, mdef, batch_size
+    ):
+        xs.append(x_slate)
+        ys.append(y_slate)
+    return np.stack(xs), np.stack(ys)
+
+
+def rank_and_click_dataset_indexed(
+    dataset, slate_length: int, params, mdef: LTRModelDef, batch_size: int,
+    click_fn, include_empty: bool = False, seed: int = 42,
+):
+    """Index-mode twin of ``rank_and_click_dataset``."""
+    xs, clicks_out = [], []
+    for x_slate, clicks in _indexed_rank_loop(
+        dataset, slate_length, params, mdef, batch_size, click_fn, seed
+    ):
+        if include_empty or (clicks > 0).any():
+            xs.append(x_slate)
+            clicks_out.append(clicks)
+    return xs, clicks_out
+
+
 def make_rank_and_click_step(mdef: LTRModelDef, click_fn):
     """ONE jitted program: score -> sort -> gather -> simulate clicks.
 

@@ -97,24 +97,44 @@ def run(args: Namespace = None) -> dict:
     click_model = instantiate_from_recursive_name_args(config.click_model)
 
     # click models with a vectorized equivalent run fused with the ranking
-    # pass in one jitted program per batch — clicks never leave the device
+    # pass in one jitted program per batch — clicks never leave the device.
+    # data.device_cache additionally switches to index-mode ranking: features
+    # live in HBM, batches move [B, L] row ids, and the host re-materializes
+    # ranked rows from its own arrays (no [B, L, F] interconnect round-trips)
     from allrank_tpu.click_models.jax_models import as_device_click_fn
-    from allrank_tpu.inference.inference_utils import rank_and_click_dataset
+    from allrank_tpu.inference.inference_utils import (
+        rank_and_click_dataset,
+        rank_and_click_dataset_indexed,
+        rank_slates_dataset_indexed,
+    )
 
+    device_cache = bool(getattr(config.data, "device_cache", False))
     device_click_fn = as_device_click_fn(click_model)
     if device_click_fn is not None:
-        logger.info("click model runs on-device (fused with ranking)")
+        rank_click = (rank_and_click_dataset_indexed if device_cache
+                      else rank_and_click_dataset)
+        logger.info("click model runs on-device (fused with ranking%s)",
+                    ", index-mode feed" if device_cache else "")
         clicked_slates = {
-            role: rank_and_click_dataset(
+            role: rank_click(
                 ds, slate_len, params, mdef, config.data.batch_size,
                 device_click_fn, include_empty=False,
             )
             for role, (ds, slate_len) in datasets.items()
         }
     else:
-        ranked_slates = rank_slates(
-            datasets, params, mdef, config.data.batch_size
-        )
+        if device_cache:
+            logger.info("index-mode ranking (device feature store)")
+            ranked_slates = {
+                role: rank_slates_dataset_indexed(
+                    ds, slate_len, params, mdef, config.data.batch_size
+                )
+                for role, (ds, slate_len) in datasets.items()
+            }
+        else:
+            ranked_slates = rank_slates(
+                datasets, params, mdef, config.data.batch_size
+            )
         clicked_slates = {
             role: click_on_slates(slates, click_model, include_empty=False)
             for role, slates in ranked_slates.items()

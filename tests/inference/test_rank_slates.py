@@ -146,3 +146,52 @@ def test_rank_and_click_cli_end_to_end(tmp_path):
     assert clicked_ds.n_features == 12
     labels = np.concatenate([clicked_ds[i][1] for i in range(len(clicked_ds))])
     assert set(np.unique(labels)).issubset({0.0, 1.0})
+
+
+def test_indexed_rank_matches_materializing_path():
+    """Index-mode ranking (device feature store + ranked row ids) must be
+    value-identical to the materializing path — ragged slates included."""
+    from allrank_tpu.inference.inference_utils import (
+        rank_slates_dataset_indexed,
+    )
+
+    rng = np.random.RandomState(3)
+    lengths = [5, 2, 7, 4, 7, 1]
+    X = rng.randn(sum(lengths), 4).astype(np.float32)
+    y = rng.randint(0, 3, size=sum(lengths)).astype(np.float32)
+    qid = np.repeat(np.arange(len(lengths)), lengths)
+    ds = SlateDataset(X, y, qid)
+
+    mdef, params = _mlp_model(4)
+    L = 7
+    X_a, y_a = rank_slates_dataset(ds, L, params, mdef, batch_size=4)
+    X_b, y_b = rank_slates_dataset_indexed(ds, L, params, mdef, batch_size=4)
+    np.testing.assert_array_equal(y_a, y_b)
+    np.testing.assert_array_equal(X_a, X_b)
+
+
+def test_indexed_rank_and_click_matches_materializing_path():
+    from allrank_tpu.click_models.base import OnlyRelevantClickModel
+    from allrank_tpu.click_models.jax_models import as_device_click_fn
+    from allrank_tpu.inference.inference_utils import (
+        rank_and_click_dataset,
+        rank_and_click_dataset_indexed,
+    )
+
+    rng = np.random.RandomState(4)
+    lengths = [6, 3, 6, 2]
+    X = rng.randn(sum(lengths), 5).astype(np.float32)
+    y = rng.randint(0, 4, size=sum(lengths)).astype(np.float32)
+    qid = np.repeat(np.arange(len(lengths)), lengths)
+    ds = SlateDataset(X, y, qid)
+
+    mdef, params = _mlp_model(5)
+    fn = as_device_click_fn(OnlyRelevantClickModel(relevancy_threshold=2))
+    assert fn is not None
+    xs_a, c_a = rank_and_click_dataset(ds, 6, params, mdef, 4, fn)
+    xs_b, c_b = rank_and_click_dataset_indexed(ds, 6, params, mdef, 4, fn)
+    assert len(xs_a) == len(xs_b)
+    for a, b in zip(xs_a, xs_b):
+        np.testing.assert_array_equal(a, b)
+    for a, b in zip(c_a, c_b):
+        np.testing.assert_array_equal(a, b)
