@@ -100,17 +100,34 @@ def run(args: Namespace = None) -> dict:
     )
     rng = jax.random.PRNGKey(42)
 
+    device_cache = bool(getattr(config.data, "device_cache", False))
     results = {}
     for role, (ds, slate_len) in datasets.items():
+        table = None
+        if device_cache:
+            from allrank_tpu.data.feature_store import (
+                DeviceFeatureStore,
+                resolve_store_dtype,
+            )
+
+            table = DeviceFeatureStore(
+                ds, dtype=resolve_store_dtype(
+                    getattr(config.data, "device_cache_dtype", "auto"),
+                    config.training.compute_dtype,
+                ),
+            ).table
         if config.data.eval_buckets > 0:
             batcher = BucketedSlateBatcher(
                 ds, config.data.batch_size,
                 n_buckets=config.data.eval_buckets,
+                emit_row_indices=device_cache,
             )
         else:
             batcher = SlateBatcher(ds, slate_len, config.data.batch_size,
-                                   shuffle=False)
-        metrics, loss = compute_metrics(eval_step, params, iter(batcher), rng)
+                                   shuffle=False,
+                                   emit_row_indices=device_cache)
+        metrics, loss = compute_metrics(eval_step, params, iter(batcher),
+                                        rng, table=table)
         metrics["loss"] = loss
         results[role] = metrics
         logger.info("%s: %s", role,

@@ -66,6 +66,17 @@ def test_evaluate_matches_training_val_metrics(tmp_path):
         results["vali"]["ndcg_5"], abs=1e-9)
     assert "train/ndcg_5" in flat
 
+    # device_cache path: index-mode feed + HBM table, same numbers exactly
+    cached_cfg = _config(data_dir)
+    cached_cfg["data"]["device_cache"] = True
+    cfg2 = str(tmp_path / "cached.json")
+    json.dump(cached_cfg, open(cfg2, "w"))
+    cached = evaluate(Namespace(job_dir=job, run_id="e2",
+                                config_file_name=cfg2,
+                                input_model_path=model, roles=["vali"]))
+    for k, v in results["vali"].items():
+        assert cached["vali"][k] == pytest.approx(v, abs=1e-6), k
+
 
 def test_evaluate_gate_fails_on_unmet_expectation(tmp_path):
     from allrank_tpu.evaluate import run as evaluate
