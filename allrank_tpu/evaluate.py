@@ -143,8 +143,22 @@ def run(args: Namespace = None) -> dict:
     if is_gs_path(args.job_dir):
         copy_local_to_gs(paths.local_base_output_path, args.job_dir)
 
-    gated_roles = {r: v for r, v in (config.expected_metrics or {}).items()
-                   if r in results}
+    # the training gate keys validation expectations as "val" (reference
+    # convention, e.g. reproducibility configs); offline that alias means
+    # the configured validation_ds_role
+    alias = {"val": config.data.validation_ds_role}
+    gated_roles = {}
+    unmatched = []
+    for r, v in (config.expected_metrics or {}).items():
+        role = alias.get(r, r)
+        if role in results:
+            gated_roles[role] = v
+        else:
+            unmatched.append(r)
+    if unmatched:
+        logger.warning(
+            "expected_metrics entries %s match no evaluated role %s — "
+            "gate not applied to them", unmatched, sorted(results))
     if gated_roles:
         assert_expected_metrics(
             {f"{role}_metrics": m for role, m in results.items()},

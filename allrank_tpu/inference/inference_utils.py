@@ -145,6 +145,9 @@ def _indexed_rank_loop(
     the materializing steps."""
     from allrank_tpu.data.feature_store import DeviceFeatureStore
 
+    # always fp32 (data.device_cache_dtype deliberately does NOT apply):
+    # ranking computes in fp32 like the materializing path, and an fp32
+    # table is what keeps index-mode outputs byte-identical to it
     store = DeviceFeatureStore(dataset)
     flat_X = dataset.flat_slate_buffers()[0]
     batcher = SlateBatcher(dataset, slate_length, batch_size, shuffle=False,

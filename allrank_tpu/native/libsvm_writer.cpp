@@ -13,6 +13,7 @@
 //
 // Build: make native   (g++ -O3 -std=c++17 -shared -fPIC -pthread)
 
+#include <algorithm>
 #include <charconv>
 #include <cstdint>
 #include <cstdio>
@@ -70,9 +71,12 @@ extern "C" int64_t write_svmlight(const float* X, const float* y,
   FILE* f = std::fopen(path, "wb");
   if (f == nullptr) return 2;
 
-  // waves bound the formatted-text footprint (~64k rows/thread in flight)
-  // while each wave's ranges format in parallel and write in order
-  const int64_t wave = 65536 * n_threads;
+  // waves bound the formatted-text footprint: ~8 MB of buffer per thread
+  // in flight regardless of the feature count (a fixed ROW count would
+  // scale the footprint with n_feat — ~1 GB/wave at 136 dense features)
+  const int64_t rows_per_thread =
+      std::max<int64_t>(1024, (8 << 20) / (n_feat * 14));
+  const int64_t wave = rows_per_thread * n_threads;
   std::vector<std::string> chunks(static_cast<size_t>(n_threads));
   for (int64_t wave_begin = 0; wave_begin < n_rows; wave_begin += wave) {
     const int64_t wave_end =

@@ -56,6 +56,8 @@ class SlateScoringService:
         self._worker.start()
 
     def submit(self, x: np.ndarray) -> Future:
+        if self._stop.is_set():
+            raise RuntimeError("scoring service is closed")
         x = np.asarray(x, dtype=np.float32)
         if x.ndim != 2 or x.shape[1] != self.n_features:
             raise ValueError(
@@ -75,8 +77,17 @@ class SlateScoringService:
         return self.submit(x).result(timeout=timeout)
 
     def close(self) -> None:
+        """Stop the worker; pending (and any racing) requests are failed
+        promptly rather than left with never-resolving futures."""
         self._stop.set()
         self._worker.join(timeout=5)
+        while True:
+            try:
+                _, fut = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(RuntimeError("scoring service is closed"))
 
     # -- worker ------------------------------------------------------------
 
@@ -151,14 +162,21 @@ def run_server(service: SlateScoringService, port: int, host: str = ""):
             if self.path != "/score":
                 self._reply(404, {"error": "not found"})
                 return
+            from concurrent.futures import TimeoutError as FutureTimeout
+
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length))
                 slate = np.asarray(req["slate"], dtype=np.float32)
                 scores = service.score(slate, timeout=30.0)
                 self._reply(200, {"scores": [float(s) for s in scores]})
-            except (KeyError, ValueError, json.JSONDecodeError) as exc:
+            except (KeyError, TypeError, ValueError,
+                    json.JSONDecodeError) as exc:
                 self._reply(400, {"error": str(exc)})
+            except FutureTimeout:
+                self._reply(503, {"error": "scoring timed out"})
+            except RuntimeError as exc:  # service closed mid-request
+                self._reply(503, {"error": str(exc)})
 
     return ThreadingHTTPServer((host, port), Handler)
 

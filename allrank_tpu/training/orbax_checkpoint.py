@@ -1,4 +1,4 @@
-"""Orbax checkpoint backend: async, sharding-aware train-state snapshots.
+"""Orbax checkpoint backend: async, sharded, crash-safe train snapshots.
 
 The default ``npz`` backend (checkpoint.py) gathers every array to host and
 writes synchronously — fine for one chip and small towers, but on a pod it
@@ -10,32 +10,77 @@ This backend (``training.checkpoint_backend: "orbax"``) uses
     proceeds in the background and the epoch loop continues immediately;
   * **sharded**: each process writes exactly its own shards (OCDBT), and
     restore is sharding-aware — arrays land back on their devices with the
-    layout taken from the live template, no host-side gather either way.
+    layout taken from the live template, no host-side gather either way;
+  * **crash-safe**: every snapshot goes to a fresh ``orbax_state_e<N>``
+    directory with a ``loop_state_e<N>.json`` sidecar written before the
+    async write starts; older snapshots are pruned only after a newer one
+    has committed. A crash mid-write leaves the previous finalized
+    snapshot intact, and resume picks the newest FINALIZED snapshot (via
+    orbax's commit marker), not whatever a bare json file claims.
 
-Scope: the partial (mid-training) params+opt-state snapshot. Loop state
-(scheduler/early-stop/PRNG) stays in ``loop_state.json`` — tiny, host-side
-— and the *final* ``model.npz`` artifact keeps the portable npz format that
+Collective contract: ``save``/``restore`` are multi-process collectives —
+EVERY process of a ``jax.distributed`` cluster must call them (orbax
+synchronizes internally); only the sidecar json is main-process-only.
+
+Scope: the partial (mid-training) params+opt-state snapshot. The *final*
+``model.npz`` artifact keeps the portable npz format that
 ``rank_and_click``/serving load (reference analog: the final state_dict at
 allrank/training/train_utils.py:139).
 """
 
 from __future__ import annotations
 
+import glob
+import json
 import os
-from typing import Any, Tuple
+import re
+import shutil
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import numpy as np
 
-STATE_DIR = "orbax_state"
+STATE_PREFIX = "orbax_state_e"
+SIDECAR_PREFIX = "loop_state_e"
 
 
 def _is_saveable(leaf: Any) -> bool:
     return isinstance(leaf, (jax.Array, np.ndarray))
 
 
+def _state_dir(partial_dir: str, epoch: int) -> str:
+    return os.path.join(os.path.abspath(partial_dir),
+                        f"{STATE_PREFIX}{epoch}")
+
+
+def _sidecar_path(partial_dir: str, epoch: int) -> str:
+    return os.path.join(os.path.abspath(partial_dir),
+                        f"{SIDECAR_PREFIX}{epoch}.json")
+
+
+def _finalized_epochs(partial_dir: str):
+    """Epochs with a COMMITTED snapshot and its sidecar, ascending."""
+    from orbax.checkpoint import utils as ocp_utils
+
+    out = []
+    for d in glob.glob(os.path.join(os.path.abspath(partial_dir),
+                                    f"{STATE_PREFIX}*")):
+        m = re.fullmatch(rf"{STATE_PREFIX}(\d+)", os.path.basename(d))
+        if not m:
+            continue
+        epoch = int(m.group(1))
+        try:
+            finalized = ocp_utils.is_checkpoint_finalized(d)
+        except Exception:
+            finalized = False
+        if finalized and os.path.exists(_sidecar_path(partial_dir, epoch)):
+            out.append(epoch)
+    return sorted(out)
+
+
 class OrbaxTrainCheckpointer:
-    """Save/restore ``{"params", "opt_state"}`` under ``<partial>/orbax_state``.
+    """Save/restore ``{"params", "opt_state"}`` snapshots under
+    ``<partial>/orbax_state_e<epoch>``.
 
     Non-array optimizer leaves (e.g. injected schedule callables) are
     stored as None and re-filled from the live template on restore — the
@@ -47,20 +92,64 @@ class OrbaxTrainCheckpointer:
 
         self._ckptr = ocp.StandardCheckpointer()
 
-    def save(self, partial_dir: str, params: Any, opt_state: Any) -> None:
+    def save(self, partial_dir: str, params: Any, opt_state: Any,
+             epoch: int, loop_state: Optional[Dict] = None,
+             is_main_process: bool = True) -> None:
+        """Collective. ``loop_state`` (host-side scheduler/rng dict) is
+        written as the snapshot's sidecar by the main process before the
+        async array write starts."""
+        # ensure the previous async write committed, then drop snapshots
+        # older than the newest committed one (the newest stays until the
+        # write we are about to start commits)
+        self._ckptr.wait_until_finished()
+        self._prune(partial_dir, is_main_process)
+        if is_main_process and loop_state is not None:
+            with open(_sidecar_path(partial_dir, epoch), "w") as f:
+                json.dump(loop_state, f)
         state = {
             "params": params,
             "opt_state": jax.tree.map(
                 lambda v: v if _is_saveable(v) else None, opt_state
             ),
         }
-        self._ckptr.save(
-            os.path.join(os.path.abspath(partial_dir), STATE_DIR),
-            state, force=True,
-        )
+        self._ckptr.save(_state_dir(partial_dir, epoch), state)
 
-    def restore(self, partial_dir: str, params_template: Any,
-                opt_state_template: Any) -> Tuple[Any, Any]:
+    def _prune(self, partial_dir: str, is_main_process: bool) -> None:
+        if not is_main_process:
+            return
+        finalized = _finalized_epochs(partial_dir)
+        for epoch in finalized[:-1]:
+            shutil.rmtree(_state_dir(partial_dir, epoch),
+                          ignore_errors=True)
+            try:
+                os.remove(_sidecar_path(partial_dir, epoch))
+            except OSError:
+                pass
+        # crash debris: unfinalized tmp dirs that are not the newest
+        # committed snapshot (no write is in flight here — we waited)
+        from orbax.checkpoint import utils as ocp_utils
+
+        keep = {_state_dir(partial_dir, e) for e in finalized[-1:]}
+        for d in glob.glob(os.path.join(os.path.abspath(partial_dir),
+                                        f"{STATE_PREFIX}*")):
+            if d in keep:
+                continue
+            try:
+                if not ocp_utils.is_checkpoint_finalized(d):
+                    shutil.rmtree(d, ignore_errors=True)
+            except Exception:
+                shutil.rmtree(d, ignore_errors=True)
+
+    def restore_latest(
+        self, partial_dir: str, params_template: Any, opt_state_template: Any
+    ) -> Optional[Tuple[Any, Any, int, Dict]]:
+        """Collective. Returns (params, opt_state, epoch, loop_state) from
+        the newest finalized snapshot, or None when there is none."""
+        finalized = _finalized_epochs(partial_dir)
+        if not finalized:
+            return None
+        epoch = finalized[-1]
+
         def abstract(v):
             if not _is_saveable(v):
                 return None
@@ -72,18 +161,20 @@ class OrbaxTrainCheckpointer:
         templates = {"params": params_template,
                      "opt_state": opt_state_template}
         restored = self._ckptr.restore(
-            os.path.join(os.path.abspath(partial_dir), STATE_DIR),
+            _state_dir(partial_dir, epoch),
             jax.tree.map(abstract, templates),
         )
         merged = jax.tree.map(
             lambda r, t: t if r is None else r, restored, templates,
             is_leaf=lambda x: x is None,
         )
-        return merged["params"], merged["opt_state"]
+        with open(_sidecar_path(partial_dir, epoch)) as f:
+            loop_state = json.load(f)
+        return merged["params"], merged["opt_state"], epoch, loop_state
 
     def wait_until_finished(self) -> None:
         self._ckptr.wait_until_finished()
 
     @staticmethod
     def exists(partial_dir: str) -> bool:
-        return os.path.isdir(os.path.join(partial_dir, STATE_DIR))
+        return bool(_finalized_epochs(partial_dir))

@@ -393,25 +393,29 @@ def fit(
             " (expected 'npz' or 'orbax')"
         )
     start_epoch = 0
-    if resume and partial_dir and os.path.exists(
-        os.path.join(partial_dir, "loop_state.json")
-    ):
+    loop_state = None
+    if resume and partial_dir:
         import json
 
         from allrank_tpu.training.checkpoint import load_params as _load
 
         if orbax_ckptr is not None and orbax_ckptr.exists(partial_dir):
-            params, opt_state = orbax_ckptr.restore(
-                partial_dir, params, opt_state
+            # collective: every process restores (orbax syncs internally);
+            # the snapshot's own sidecar carries the loop state, so a crash
+            # between an old loop_state.json and a newer in-flight write can
+            # never desynchronize arrays from host state
+            params, opt_state, _ck_epoch, loop_state = (
+                orbax_ckptr.restore_latest(partial_dir, params, opt_state)
             )
-        else:
+        elif os.path.exists(os.path.join(partial_dir, "loop_state.json")):
             params = _load(params, os.path.join(partial_dir, "params.npz"))
             opt_state = _load(
                 opt_state, os.path.join(partial_dir, "opt_state.npz"),
                 strict=False,
             )
-        with open(os.path.join(partial_dir, "loop_state.json")) as f:
-            loop_state = json.load(f)
+            with open(os.path.join(partial_dir, "loop_state.json")) as f:
+                loop_state = json.load(f)
+    if loop_state is not None:
         start_epoch = loop_state["epoch"] + 1
         if scheduler is not None:
             scheduler.__dict__.update(loop_state["scheduler"])
@@ -422,27 +426,38 @@ def fit(
             rng = jnp.asarray(loop_state["rng"], dtype=jnp.uint32)
         logger.info("resumed from %s at epoch %d", partial_dir, start_epoch)
 
+    def _loop_state(epoch: int) -> dict:
+        return {
+            "epoch": epoch,
+            "scheduler": dict(scheduler.__dict__) if scheduler else {},
+            "early_stop": dict(early_stop.__dict__),
+            "step_rng": np.asarray(step_rng).tolist(),
+            "rng": np.asarray(rng).tolist(),
+        }
+
     def save_partial(epoch: int) -> None:
         import json
 
         from allrank_tpu.training.checkpoint import save_opt_state, save_params as _save
 
-        os.makedirs(partial_dir, exist_ok=True)
+        if is_main_process:
+            os.makedirs(partial_dir, exist_ok=True)
         if orbax_ckptr is not None:
-            # async: device->host copies happen here, the write continues in
-            # the background while the epoch loop keeps stepping
-            orbax_ckptr.save(partial_dir, params, opt_state)
-        else:
-            _save(params, os.path.join(partial_dir, "params.npz"))
-            save_opt_state(opt_state, os.path.join(partial_dir, "opt_state.npz"))
+            # collective + async: every process calls save (each writes its
+            # own shards); device->host copies happen here and the file
+            # write continues in the background while the loop keeps
+            # stepping. Snapshots are epoch-dirs with sidecars — the
+            # previous committed snapshot survives until this one commits.
+            orbax_ckptr.save(partial_dir, params, opt_state, epoch,
+                             loop_state=_loop_state(epoch),
+                             is_main_process=is_main_process)
+            return
+        if not is_main_process:
+            return
+        _save(params, os.path.join(partial_dir, "params.npz"))
+        save_opt_state(opt_state, os.path.join(partial_dir, "opt_state.npz"))
         with open(os.path.join(partial_dir, "loop_state.json"), "w") as f:
-            json.dump({
-                "epoch": epoch,
-                "scheduler": dict(scheduler.__dict__) if scheduler else {},
-                "early_stop": dict(early_stop.__dict__),
-                "step_rng": np.asarray(step_rng).tolist(),
-                "rng": np.asarray(rng).tolist(),
-            }, f)
+            json.dump(_loop_state(epoch), f)
 
     num_epochs_run = start_epoch
     for epoch in range(start_epoch, epochs):
@@ -531,7 +546,10 @@ def fit(
 
         early_stop.step(current_val, epoch)
         num_epochs_run = epoch + 1
-        if (checkpoint_every and partial_dir and is_main_process
+        # orbax saves are multi-process collectives — every process calls;
+        # save_partial itself keeps the file-writing on the main process
+        if (checkpoint_every and partial_dir
+                and (is_main_process or orbax_ckptr is not None)
                 and (epoch + 1) % checkpoint_every == 0):
             save_partial(epoch)
         if early_stop.stop_training(epoch):

@@ -92,7 +92,7 @@ def test_evaluate_gate_fails_on_unmet_expectation(tmp_path):
     model = os.path.join(job, "results", "t", "model.npz")
 
     gated = str(tmp_path / "gated.json")
-    json.dump(_config(data_dir, expected={"vali": {"ndcg_5": 1.01}}),
+    json.dump(_config(data_dir, expected={"val": {"ndcg_5": 1.01}}),  # "val" aliases validation_ds_role
               open(gated, "w"))
     with pytest.raises(AssertionError, match="expected to be at least"):
         evaluate(Namespace(job_dir=job, run_id="g", config_file_name=gated,

@@ -109,3 +109,38 @@ def test_http_round_trip():
     finally:
         server.shutdown()
         service.close()
+
+
+def test_close_fails_pending_and_rejects_new_submits():
+    import pytest
+
+    mdef, params = _model()
+    service = SlateScoringService(params, mdef, L, F, batch_size=2,
+                                  max_wait_ms=1, compute_dtype="float32")
+    service.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        service.submit(np.zeros((2, F), dtype=np.float32))
+
+
+def test_http_malformed_body_returns_400_not_dropped_connection():
+    mdef, params = _model()
+    service = SlateScoringService(params, mdef, L, F, batch_size=2,
+                                  max_wait_ms=1, compute_dtype="float32")
+    server = run_server(service, port=0, host="127.0.0.1")
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        for body in (b"[1,2]", b"not json", b'{"slate": "nope"}'):
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/score", data=body,
+                headers={"Content-Type": "application/json"},
+            )
+            try:
+                urllib.request.urlopen(req, timeout=10)
+                raise AssertionError(f"expected HTTP 400 for {body!r}")
+            except urllib.error.HTTPError as e:
+                assert e.code == 400, body
+    finally:
+        server.shutdown()
+        service.close()

@@ -1,4 +1,7 @@
-"""Orbax backend: sharded save/restore preserves values AND layouts."""
+"""Orbax backend: sharded save/restore preserves values AND layouts, and the
+epoch-dir snapshot scheme keeps a committed snapshot at all times."""
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -7,7 +10,10 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from allrank_tpu.config import ParallelConfig
 from allrank_tpu.parallel.mesh import make_mesh
-from allrank_tpu.training.orbax_checkpoint import OrbaxTrainCheckpointer
+from allrank_tpu.training.orbax_checkpoint import (
+    STATE_PREFIX,
+    OrbaxTrainCheckpointer,
+)
 
 
 def test_sharded_roundtrip_restores_values_and_shardings(tmp_path):
@@ -28,7 +34,8 @@ def test_sharded_roundtrip_restores_values_and_shardings(tmp_path):
     }
 
     ck = OrbaxTrainCheckpointer()
-    ck.save(str(tmp_path), params, opt_state)
+    ck.save(str(tmp_path), params, opt_state, epoch=1,
+            loop_state={"epoch": 1, "tag": "first"})
     ck.wait_until_finished()
     assert OrbaxTrainCheckpointer.exists(str(tmp_path))
 
@@ -39,8 +46,10 @@ def test_sharded_roundtrip_restores_values_and_shardings(tmp_path):
     t_opt = {"mu": jax.device_put(jnp.zeros_like(opt_state["mu"]),
                                   opt_state["mu"].sharding),
              "count": jnp.asarray(0), "fn": opt_state["fn"]}
-    r_params, r_opt = ck.restore(str(tmp_path), t_params, t_opt)
+    r_params, r_opt, epoch, loop_state = ck.restore_latest(
+        str(tmp_path), t_params, t_opt)
 
+    assert epoch == 1 and loop_state["tag"] == "first"
     np.testing.assert_array_equal(np.asarray(r_params["w"]),
                                   np.arange(64.0).reshape(8, 8))
     np.testing.assert_array_equal(np.asarray(r_opt["mu"]), 0.5)
@@ -50,9 +59,53 @@ def test_sharded_roundtrip_restores_values_and_shardings(tmp_path):
     assert r_params["w"].sharding == params["w"].sharding
     assert r_opt["mu"].sharding.spec == P(None, "model")
 
-    # overwrite with new values (the save_partial cadence)
-    ck.save(str(tmp_path), jax.tree.map(lambda x: x + 1.0, params), opt_state)
+
+def test_snapshot_rotation_keeps_a_committed_snapshot(tmp_path):
+    ck = OrbaxTrainCheckpointer()
+    params = {"w": jnp.ones(4)}
+    opt = {"count": jnp.asarray(0)}
+
+    ck.save(str(tmp_path), params, opt, epoch=1, loop_state={"epoch": 1})
     ck.wait_until_finished()
-    r2, _ = ck.restore(str(tmp_path), t_params, t_opt)
-    np.testing.assert_array_equal(
-        np.asarray(r2["b"]), np.full(8, 2.0))
+    ck.save(str(tmp_path), {"w": jnp.full(4, 2.0)}, opt, epoch=3,
+            loop_state={"epoch": 3})
+    ck.wait_until_finished()
+
+    # newest finalized snapshot wins; epoch-1 is pruned at the NEXT save
+    # (it must survive until epoch-3 has committed)
+    _, _, epoch, ls = ck.restore_latest(str(tmp_path), params, opt)
+    assert epoch == 3 and ls["epoch"] == 3
+
+    ck.save(str(tmp_path), {"w": jnp.full(4, 3.0)}, opt, epoch=5,
+            loop_state={"epoch": 5})
+    ck.wait_until_finished()
+    dirs = [d for d in os.listdir(tmp_path) if d.startswith(STATE_PREFIX)]
+    assert f"{STATE_PREFIX}1" not in dirs  # pruned after 3 committed
+    r, _, epoch, _ = ck.restore_latest(str(tmp_path), params, opt)
+    assert epoch == 5 and float(np.asarray(r["w"])[0]) == 3.0
+
+
+def test_unfinalized_snapshot_is_ignored_and_cleaned(tmp_path):
+    """A crash mid-write leaves an unfinalized dir: resume must use the
+    previous committed snapshot, and the next save clears the debris."""
+    ck = OrbaxTrainCheckpointer()
+    params = {"w": jnp.ones(4)}
+    opt = {"count": jnp.asarray(0)}
+    ck.save(str(tmp_path), params, opt, epoch=2, loop_state={"epoch": 2})
+    ck.wait_until_finished()
+
+    # crash debris as orbax leaves it: the commit IS the atomic rename from
+    # the tmp name, so an interrupted write leaves a tmp-suffixed dir
+    debris = os.path.join(str(tmp_path),
+                          f"{STATE_PREFIX}4.orbax-checkpoint-tmp-12345")
+    os.makedirs(os.path.join(debris, "d"))
+    with open(os.path.join(str(tmp_path), "loop_state_e4.json"), "w") as f:
+        f.write('{"epoch": 4}')
+
+    out = ck.restore_latest(str(tmp_path), params, opt)
+    assert out is not None and out[2] == 2  # epoch-4 debris ignored
+
+    ck.save(str(tmp_path), params, opt, epoch=6, loop_state={"epoch": 6})
+    ck.wait_until_finished()
+    assert not os.path.isdir(debris)  # cleaned by the pre-save prune
+    assert ck.restore_latest(str(tmp_path), params, opt)[2] == 6
