@@ -67,6 +67,7 @@ params = init_params(jax.random.PRNGKey(0), mdef)
 params = jax.device_put(params, param_shardings(params, mesh))
 loss_fn, needs_rng = get_loss("listNet")
 
+out_dir = sys.argv[4] if len(sys.argv) > 4 else None
 kw = dict(slate_length=8, batch_size=G, seed=9, local_rows=local_rows)
 with mesh:
     result = fit(
@@ -77,8 +78,18 @@ with mesh:
         val_batcher=SlateBatcher(ds, shuffle=False, **kw),
         metrics={"ndcg": [5]}, val_metric="ndcg_5",
         early_stopping_patience=0, gradient_clipping_norm=None,
-        output_dir=None, batch_shardings=batch_shardings(mesh),
+        output_dir=out_dir, batch_shardings=batch_shardings(mesh),
+        # orbax saves are cross-process collectives: this exercises the
+        # pod checkpoint path (every process writes its own shards)
+        checkpoint_every=2 if out_dir else None,
+        checkpoint_backend="orbax" if out_dir else "npz",
     )
+if out_dir:
+    from allrank_tpu.training.orbax_checkpoint import OrbaxTrainCheckpointer
+    import os as _os
+    assert OrbaxTrainCheckpointer.exists(_os.path.join(out_dir, "partial")), \
+        "no finalized orbax snapshot after multi-process training"
+
 
 checksum = float(sum(float(np.sum(np.asarray(l)))
                      for l in jax.tree.leaves(result["params"])))
@@ -95,7 +106,7 @@ def _free_port() -> int:
     return port
 
 
-def _run(n_procs, tmp_path):
+def _run(n_procs, tmp_path, checkpoint_dir=None):
     tmp_path.mkdir(exist_ok=True)
     worker = tmp_path / "worker.py"
     worker.write_text(_WORKER)
@@ -103,9 +114,10 @@ def _run(n_procs, tmp_path):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    extra = [checkpoint_dir] if checkpoint_dir else []
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), str(i), str(n_procs), coord],
+            [sys.executable, str(worker), str(i), str(n_procs), coord] + extra,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
             cwd="/root/repo",
         )
@@ -146,3 +158,15 @@ def test_two_process_fit_matches_single_process(tmp_path):
 
 def line_payload(line):
     return line.split("ndcg5=")[1]
+
+
+def test_two_process_orbax_checkpointing_commits(tmp_path):
+    """The orbax save is a cross-process collective: both processes call it,
+    training does not deadlock, and a finalized snapshot lands on disk."""
+    ck_dir = tmp_path / "ckpt"
+    ck_dir.mkdir()
+    lines = _run(2, tmp_path / "cluster", checkpoint_dir=str(ck_dir))
+    assert len(lines) == 2
+    from allrank_tpu.training.orbax_checkpoint import _finalized_epochs
+
+    assert _finalized_epochs(str(ck_dir / "partial")) != []
