@@ -55,3 +55,47 @@ def get_loss(name: str):
     if name not in LOSSES:
         raise ValueError(f"Unknown loss '{name}'. Available: {sorted(LOSSES)}")
     return LOSSES[name]
+
+
+def accumulation_weighting(name: str, args=None):
+    """Micro-batch combination rule for gradient accumulation
+    (training.accumulation_steps): returns ``(weight_fn, normalize)``.
+
+    The combined loss is ``sum_i(loss_i * w_i) / sum_i(w_i)`` when
+    ``normalize`` (w_i from ``weight_fn(y_true_i, slate_mask_i)``) and the
+    plain ``sum_i(loss_i)`` otherwise. The rule reproduces each loss's own
+    batch normalizer so the accumulated update equals the full-batch one:
+
+      * per-slate-mean losses (listNet, listMLE, pointwise, approxNDCG,
+        neuralNDCG, ...): valid-slate count;
+      * ordinal: valid-document count; bce: slates-with-any-valid-doc;
+      * lambdaLoss with reduction='sum' (the paper configs): plain sum;
+      * pair-count-normalized losses (rankNet family, lambdaLoss
+        reduction='mean'): the selection depends on predictions, so the
+        exact per-micro normalizer is not recoverable outside the loss —
+        they use the valid-slate weighting, an equal-pair-density
+        approximation (scale-correct; only the relative weighting of
+        micro-batches is approximate).
+    """
+    import jax.numpy as jnp
+
+    args = args or {}
+
+    def slates(y, slate_mask):
+        return jnp.sum(slate_mask.astype(jnp.float32))
+
+    def valid_docs(y, slate_mask):
+        valid = (y != PADDED_Y_VALUE) & slate_mask[:, None]
+        return jnp.sum(valid.astype(jnp.float32))
+
+    def slates_with_valid(y, slate_mask):
+        valid = (y != PADDED_Y_VALUE) & slate_mask[:, None]
+        return jnp.sum(jnp.any(valid, axis=-1).astype(jnp.float32))
+
+    if name == "lambdaLoss" and args.get("reduction", "sum") == "sum":
+        return (lambda y, sm: jnp.float32(1.0)), False
+    if name == "ordinal":
+        return valid_docs, True
+    if name == "bce":
+        return slates_with_valid, True
+    return slates, True

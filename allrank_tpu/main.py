@@ -23,7 +23,7 @@ import numpy as np
 from allrank_tpu.config import Config
 from allrank_tpu.data.batching import BucketedSlateBatcher, SlateBatcher
 from allrank_tpu.data.dataset import load_dataset
-from allrank_tpu.losses import get_loss
+from allrank_tpu.losses import accumulation_weighting, get_loss
 from allrank_tpu.models.factory import init_params, make_model, num_params
 from allrank_tpu.parallel import (
     batch_shardings,
@@ -202,6 +202,9 @@ def run(args: Namespace = None) -> dict:
             train_feature_table=None if train_store is None else train_store.table,
             val_feature_table=None if val_store is None else val_store.table,
             accumulation_steps=config.training.accumulation_steps,
+            accum_weighting=accumulation_weighting(
+                config.loss.name, config.loss.args
+            ),
         )
 
     result_for_dump = {k: v for k, v in result.items() if k != "params"}

@@ -132,8 +132,11 @@ def _fused_attention_runner(slate_length: int, batch: int, p_drop: float):
         def body(q, k, v, m, s):
             # de-correlate per-shard dropout: the seed arrives replicated, so
             # without mixing in the shard index every data shard would draw
-            # identical attention-dropout masks for same-local-index slates
-            s = s + jax.lax.axis_index(DATA_AXIS).astype(jnp.int32) * jnp.int32(1000003)
+            # identical attention-dropout masks for same-local-index slates.
+            # The shard stride must differ from the kernels' per-program
+            # stride (1000003) or (shard, program) pairs with equal index
+            # sums would collide onto the same PRNG stream.
+            s = s + jax.lax.axis_index(DATA_AXIS).astype(jnp.int32) * jnp.int32(999999937)
             return base(q, k, v, m, s, p_drop)
 
         return jax.shard_map(

@@ -45,11 +45,16 @@ F32 = jnp.float32
 RING_ATTENTION_MIN_LEN = 1024
 
 
-def _ring_body(q, k, v, key_mask, rng, *, p_drop, seq_axis):
+def _ring_body(q, k, v, key_mask, rng, *, p_drop, seq_axis, batch_axis=None):
     """shard_map body. q,k,v: [B, h, Lq, dh] local blocks; key_mask: [B, Lq]
     local slice (True = padded). Returns the local context block."""
     n_dev = jax.lax.axis_size(seq_axis)
     my = jax.lax.axis_index(seq_axis)
+    if p_drop > 0.0 and batch_axis is not None:
+        # the rng arrives replicated over the data axis: fold the data-shard
+        # index in so same-local-index slates on different shards draw
+        # independent dropout masks (matches the fused/tiled kernel paths)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(batch_axis))
     d_k = q.shape[-1]
     qf = q.astype(F32) / math.sqrt(d_k)
 
@@ -125,8 +130,8 @@ def ring_slate_attention(
     qkv_spec = P(batch_axis, None, seq_axis, None)
 
     def body(q, k, v, key_mask, rng):
-        return _ring_body(q, k, v, key_mask, rng,
-                          p_drop=p_drop, seq_axis=seq_axis)
+        return _ring_body(q, k, v, key_mask, rng, p_drop=p_drop,
+                          seq_axis=seq_axis, batch_axis=batch_axis)
 
     return jax.shard_map(
         body,

@@ -212,13 +212,11 @@ def _make_fused(scheme, k_eff, sigma, mu, log_base, eps, slate_length):
 
 
 def _ndcg2_deltas_np(n: int) -> np.ndarray:
-    D = np.log2(np.arange(n, dtype=np.float64) + 2.0)
-    pos = np.arange(1, n + 1)
-    delta_idx = np.abs(pos[:, None] - pos[None, :])
-    idx_prev = np.clip(delta_idx - 1, 0, n - 1)
-    deltas = np.abs(1.0 / D[idx_prev] - 1.0 / D[delta_idx])
-    np.fill_diagonal(deltas, 0.0)
-    return deltas.astype(np.float32)
+    """The ndcgLoss2 delta table — single source of truth lives with the
+    XLA loss (safe import: lambdaloss's ops imports are lazy)."""
+    from allrank_tpu.losses.lambdaloss import _ndcgLoss2_deltas
+
+    return _ndcgLoss2_deltas(n)
 
 
 def fused_lambda_pairs(

@@ -68,6 +68,7 @@ def make_train_step(
     compute_dtype: str = "float32",
     scan_steps: int = 1,
     accumulation_steps: int = 1,
+    accum_weighting=None,
 ):
     """Build the jitted train step:
     (params, opt_state, rng, batch) -> (params, opt_state, rng, loss, n_real).
@@ -83,13 +84,21 @@ def make_train_step(
     sequential micro-batches (a ``lax.scan`` over a [A, B/A, ...] reshape)
     and ONE optimizer step is taken on the combined gradients — the peak
     activation memory of the forward/backward drops ~A× while the update
-    matches the full-batch step. Micro losses/gradients combine weighted by
-    their valid-slate counts, which reproduces the full-batch value exactly
-    for per-slate-mean loss reductions (the loss zoo's convention).
+    matches the full-batch step. Micro losses/gradients combine under
+    ``accum_weighting`` — ``(weight_fn(y, slate_mask), normalize)`` from
+    ``losses.accumulation_weighting(loss_name, loss_args)`` — which
+    reproduces each loss's own batch normalizer (valid slates, valid docs,
+    or plain sum for sum-reduction losses like the paper lambdaLoss).
+    Defaults to valid-slate weighting (exact for per-slate-mean losses).
     """
     dtype = _compute_dtype(compute_dtype)
     loss_kwargs = dict(loss_kwargs or {})
     accumulation_steps = max(1, int(accumulation_steps or 1))
+    if accum_weighting is None:
+        accum_weight_fn = lambda y, sm: jnp.sum(sm.astype(jnp.float32))  # noqa: E731
+        accum_normalize = True
+    else:
+        accum_weight_fn, accum_normalize = accum_weighting
 
     def one_batch(params, opt_state, rng, batch: SlateBatch, table=None):
         x, y, indices, slate_mask = batch
@@ -135,7 +144,8 @@ def make_train_step(
             def micro(carry, inp):
                 loss_acc, grads_acc, w_acc = carry
                 l, g = jax.value_and_grad(loss_of)(params, *inp)
-                w = jnp.sum(inp[4].astype(jnp.float32))  # valid slates
+                # inp[3] = y micro-slice, inp[4] = slate_mask micro-slice
+                w = accum_weight_fn(inp[3], inp[4])
                 grads_acc = jax.tree.map(
                     lambda ga, gi: ga + gi * w, grads_acc, g
                 )
@@ -147,9 +157,12 @@ def make_train_step(
                 jnp.zeros(()),
             )
             (loss_sum, grad_sum, w_sum), _ = jax.lax.scan(micro, init, stream)
-            denom = jnp.maximum(w_sum, 1.0)
-            loss = loss_sum / denom
-            grads = jax.tree.map(lambda g: g / denom, grad_sum)
+            if accum_normalize:
+                denom = jnp.maximum(w_sum, 1.0)
+                loss = loss_sum / denom
+                grads = jax.tree.map(lambda g: g / denom, grad_sum)
+            else:
+                loss, grads = loss_sum, grad_sum
         if gradient_clipping_norm:
             gnorm = optax.global_norm(grads)
             scale = jnp.minimum(1.0, gradient_clipping_norm / (gnorm + 1e-6))
@@ -335,6 +348,7 @@ def fit(
     metrics_on_train: bool = True,
     scan_steps: int = 1,
     accumulation_steps: int = 1,
+    accum_weighting=None,
     train_feature_table=None,
     val_feature_table=None,
 ) -> Dict[str, Any]:
@@ -362,6 +376,7 @@ def fit(
         mdef, loss_fn, loss_kwargs, needs_rng, optimizer,
         gradient_clipping_norm, compute_dtype, scan_steps=scan_steps,
         accumulation_steps=accumulation_steps,
+        accum_weighting=accum_weighting,
     )
     eval_step = make_eval_fns(
         mdef, loss_fn, loss_kwargs, needs_rng, metrics, compute_dtype

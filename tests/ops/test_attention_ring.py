@@ -134,3 +134,31 @@ def test_transformer_dispatches_ring_on_sequence_mesh(monkeypatch):
     assert len(calls) == tdef.N  # one ring dispatch per encoder block
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-5)
+
+
+def test_dropout_decorrelated_across_data_shards():
+    """Same-local-index slates on different data shards must draw different
+    dropout masks (the replicated rng is folded with the data-shard index)."""
+    mesh = make_mesh(ParallelConfig(data=2, sequence=4))
+    b, h, l, dk = 4, 2, 64, 16
+    rng_np = np.random.RandomState(7)
+    # identical content for every slate: any cross-slate output difference
+    # can only come from dropout masks
+    one = rng_np.randn(1, h, l, dk).astype(np.float32)
+    q = jnp.asarray(np.repeat(one, b, axis=0))
+    k = jnp.asarray(np.repeat(rng_np.randn(1, h, l, dk).astype(np.float32),
+                              b, axis=0))
+    v = jnp.asarray(np.repeat(rng_np.randn(1, h, l, dk).astype(np.float32),
+                              b, axis=0))
+    mask = jnp.zeros((b, l), dtype=bool)
+
+    with mesh:
+        out = np.asarray(jax.jit(lambda *a: ring_slate_attention(
+            *a, mesh, "sequence", p_drop=0.3,
+            rng=jax.random.PRNGKey(3)))(q, k, v, mask))
+
+    # batch rows 0-1 live on data shard 0, rows 2-3 on shard 1. Before the
+    # data-index fold both shards drew the SAME local mask block, making
+    # row 0 == row 2 and row 1 == row 3 exactly; decorrelated they differ.
+    assert np.abs(out[0] - out[2]).max() > 0.0
+    assert np.abs(out[1] - out[3]).max() > 0.0

@@ -47,17 +47,22 @@ def _batch(b=8, l=12, feats=8, n_dummy=0, seed=0):
     return SlateBatch(x, y, indices, slate_mask)
 
 
-def _run(accum, loss_name="listNet", n_dummy=0, steps=3):
+def _run(accum, loss_name="listNet", n_dummy=0, steps=3, loss_args=None,
+         lr=1e-1):
     # SGD, not Adam: several biases have *exactly zero* gradient under a
     # shift-invariant loss (softmax), and Adam's bias-corrected first step
     # amplifies each path's different fp noise on them to a full ±lr update.
     # SGD keeps the param delta proportional to the gradient delta (~1e-9).
     mdef = _mdef()
     params = init_params(jax.random.PRNGKey(0), mdef)
-    opt = make_optimizer("SGD", {"lr": 1e-1})
+    opt = make_optimizer("SGD", {"lr": lr})
+    from allrank_tpu.losses import accumulation_weighting
+
     loss_fn, needs_rng = get_loss(loss_name)
-    step = make_train_step(mdef, loss_fn, {}, needs_rng, opt, None,
-                           accumulation_steps=accum)
+    step = make_train_step(mdef, loss_fn, dict(loss_args or {}), needs_rng,
+                           opt, None, accumulation_steps=accum,
+                           accum_weighting=accumulation_weighting(
+                               loss_name, loss_args))
     opt_state = opt.init(params)
     rng = jax.random.PRNGKey(1)
     batch = _batch(n_dummy=n_dummy)
@@ -97,3 +102,110 @@ def test_indivisible_batch_raises():
                            accumulation_steps=3)
     with pytest.raises(ValueError, match="not divisible"):
         step(params, opt.init(params), jax.random.PRNGKey(1), _batch(b=8))
+
+
+@pytest.mark.parametrize("loss_name,loss_args", [
+    ("lambdaLoss", {"weighing_scheme": "ndcgLoss2PP_scheme", "mu": 10.0}),
+])
+def test_accumulation_matches_for_non_slate_mean_losses(loss_name, loss_args):
+    """Sum-reduction (the paper lambdaLoss) must also reproduce the
+    full-batch update — regression for the silent 1/n_valid gradient
+    rescale the slate-weighted combination caused for reduction='sum'."""
+    # sum-reduction losses have O(100) values; lr scaled down so fp
+    # summation-order noise is not chaotically amplified across steps
+    p_full, l_full = _run(1, loss_name=loss_name, loss_args=loss_args,
+                          lr=1e-3)
+    p_acc, l_acc = _run(2, loss_name=loss_name, loss_args=loss_args,
+                        lr=1e-3)
+    np.testing.assert_allclose(l_acc, l_full, rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(p_acc), jax.tree.leaves(p_full)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_accumulation_matches_for_ordinal_doc_count_weighting():
+    """ordinal normalizes by valid-document count; ragged micro-batches must
+    still combine exactly (weight = docs, not slates)."""
+    from allrank_tpu.losses import accumulation_weighting
+
+    mdef = make_model(
+        ModelConfig(
+            fc_model=FCConfig(sizes=[16], input_norm=False, activation="ReLU",
+                              dropout=0.0),
+            transformer=None,
+            post_model=PostModelConfig(d_output=4,
+                                       output_activation="Sigmoid"),
+        ),
+        n_features=8,
+    )
+    loss_fn, needs_rng = get_loss("ordinal")
+    opt = make_optimizer("SGD", {"lr": 1e-1})
+
+    batch = _batch(b=8, seed=5)
+    # ragged doc counts across micro halves: first half keeps 10 docs/slate,
+    # second half only 4 — slate weighting would misweight these
+    y = np.array(batch.y)
+    y[4:, 4:] = -1.0
+    idx = np.array(batch.indices)
+    idx[4:, 4:] = -1
+    batch = SlateBatch(batch.x, y, idx, batch.slate_mask)
+
+    def run(accum):
+        params = init_params(jax.random.PRNGKey(0), mdef)
+        step = make_train_step(mdef, loss_fn, {"n": 4}, needs_rng, opt, None,
+                               accumulation_steps=accum,
+                               accum_weighting=accumulation_weighting(
+                                   "ordinal", {"n": 4}))
+        opt_state = opt.init(params)
+        rng = jax.random.PRNGKey(1)
+        for _ in range(3):
+            params, opt_state, rng, loss, _ = step(params, opt_state, rng,
+                                                   batch)
+        return params, float(loss)
+
+    (p_full, l_full), (p_acc, l_acc) = run(1), run(2)
+    assert l_acc == pytest.approx(l_full, rel=1e-5)
+    for a, b in zip(jax.tree.leaves(p_acc), jax.tree.leaves(p_full)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_accumulation_matches_for_bce_slate_normalizer():
+    """bce normalizes by slates-with-any-valid-doc; binary labels keep the
+    loss scale sane so fp noise stays below tolerance."""
+    from allrank_tpu.losses import accumulation_weighting
+
+    mdef = make_model(
+        ModelConfig(
+            fc_model=FCConfig(sizes=[16], input_norm=True, activation="ReLU",
+                              dropout=0.0),
+            transformer=None,
+            post_model=PostModelConfig(d_output=1,
+                                       output_activation="Sigmoid"),
+        ),
+        n_features=8,
+    )
+    loss_fn, needs_rng = get_loss("bce")
+    opt = make_optimizer("SGD", {"lr": 1e-2})
+    batch = _batch(seed=11)
+    y = np.clip(np.array(batch.y), -1.0, 1.0)  # binary labels, pads kept
+    batch = SlateBatch(batch.x, y, batch.indices, batch.slate_mask)
+
+    def run(accum):
+        params = init_params(jax.random.PRNGKey(0), mdef)
+        step = make_train_step(mdef, loss_fn, {}, needs_rng, opt, None,
+                               accumulation_steps=accum,
+                               accum_weighting=accumulation_weighting(
+                                   "bce", {}))
+        opt_state = opt.init(params)
+        rng = jax.random.PRNGKey(1)
+        # one step: the doc-sum loss is O(500), so multi-step comparisons
+        # chaotically amplify fp summation-order noise
+        params, opt_state, rng, loss, _ = step(params, opt_state, rng, batch)
+        return params, float(loss)
+
+    (p_full, l_full), (p_acc, l_acc) = run(1), run(2)
+    assert l_acc == pytest.approx(l_full, rel=1e-5)
+    for a, b in zip(jax.tree.leaves(p_acc), jax.tree.leaves(p_full)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
