@@ -91,6 +91,10 @@ class TrainingConfig:
     # "orbax" (async sharded snapshots: each process writes its own shards,
     # the epoch loop never blocks on the write — the pod-scale choice)
     resume: bool = False  # resume from <output_dir>/partial if present
+    init_from: Optional[str] = None  # warm-start: load model weights from a
+    # model.npz (local or gs://) before training — e.g. fine-tune a
+    # checkpoint imported from the reference via allrank_tpu.interop;
+    # optimizer/scheduler state start fresh (unlike resume)
     profiler_trace_dir: Optional[str] = None  # jax.profiler trace of epoch 1
     metrics_on_train: bool = True  # False skips the per-epoch train-split
     # metrics pass (the reference iterates the train set twice per epoch)

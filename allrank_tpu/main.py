@@ -161,6 +161,11 @@ def run(args: Namespace = None) -> dict:
 
     mdef = make_model(config.model, n_features)
     params = init_params(jax.random.PRNGKey(42), mdef)
+    if config.training.init_from:
+        from allrank_tpu.training.checkpoint import load_params
+
+        params = load_params(params, config.training.init_from)
+        logger.info("warm-started weights from %s", config.training.init_from)
     params = jax.device_put(params, param_shardings(params, mesh))
     logger.info("Model definition: %s (%d params)", mdef, num_params(params))
 

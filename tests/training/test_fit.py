@@ -190,3 +190,37 @@ def test_cli_gate_failure_raises(tmp_path):
     with pytest.raises(AssertionError):
         run(Namespace(job_dir=str(tmp_path / "job"), run_id="fail_run",
                       config_file_name=config_path))
+
+
+def test_cli_warm_start_init_from(tmp_path):
+    """training.init_from loads weights before training (fine-tune path for
+    checkpoints imported from the reference). With lr=0 the warm-started
+    run's final model must equal the source checkpoint bit-for-bit."""
+    from argparse import Namespace
+
+    from allrank_tpu.main import run
+
+    data_dir = str(tmp_path / "dummy_data")
+    write_dummy_dataset(data_dir, num_queries=32, results_len=12, num_features=16)
+
+    cfg = _tiny_config_dict(data_dir)
+    cfg["training"]["epochs"] = 1
+    cfg["expected_metrics"] = {}
+    cfg_path = str(tmp_path / "config.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    job_dir = str(tmp_path / "job")
+    run(Namespace(job_dir=job_dir, run_id="source", config_file_name=cfg_path))
+    source_npz = os.path.join(job_dir, "results", "source", "model.npz")
+
+    cfg["training"]["init_from"] = source_npz
+    cfg["optimizer"] = {"name": "Adam", "args": {"lr": 0.0}}
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    run(Namespace(job_dir=job_dir, run_id="warm", config_file_name=cfg_path))
+    warm_npz = os.path.join(job_dir, "results", "warm", "model.npz")
+
+    with np.load(source_npz) as a, np.load(warm_npz) as b:
+        assert sorted(a.files) == sorted(b.files)
+        for k in a.files:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
