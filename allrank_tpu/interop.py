@@ -10,10 +10,15 @@ three separate Q/K/V projections into the fused QKV matrix, and renaming the
 custom-LayerNorm ``a_2``/``b_2`` pairs) and writes a standard ``model.npz``
 that ``rank_and_click``, ``evaluate``, and ``serving`` load as-is.
 
+The reverse direction (``params_to_torch_state_dict`` / ``--direction
+export``) emits a reference-layout state_dict from a params tree, so a model
+trained here drops back into a torch serving stack.
+
 CLI:
     python -m allrank_tpu.interop \
         --config-file-name config.json --n-features 136 \
-        --input-model-path model.pkl --output-model-path model.npz
+        --input-model-path model.pkl --output-model-path model.npz \
+        [--direction import|export]
 
 The mapping (reference state_dict key -> params tree path):
 
@@ -170,6 +175,57 @@ def torch_state_dict_to_params(state_dict: Mapping[str, Any], mdef) -> dict:
     return params
 
 
+def params_to_torch_state_dict(params: Mapping[str, Any], mdef) -> Dict[str, np.ndarray]:
+    """Inverse of ``torch_state_dict_to_params``: export this framework's
+    params pytree as a reference-layout state_dict (numpy values), so a model
+    trained (or fine-tuned) here drops back into a torch serving stack that
+    expects the reference's LTRModel naming."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_linear(prefix: str, dense: Mapping[str, Any]) -> None:
+        sd[f"{prefix}.weight"] = np.ascontiguousarray(np.asarray(dense["w"]).T)
+        sd[f"{prefix}.bias"] = np.asarray(dense["b"])
+
+    def put_std_norm(prefix: str, ln: Mapping[str, Any]) -> None:
+        sd[f"{prefix}.a_2"] = np.asarray(ln["scale"])
+        sd[f"{prefix}.b_2"] = np.asarray(ln["bias"])
+
+    if mdef.fc:
+        fc = params["fc"]
+        if mdef.fc.input_norm:
+            sd["input_layer.input_norm.weight"] = np.asarray(fc["input_norm"]["scale"])
+            sd["input_layer.input_norm.bias"] = np.asarray(fc["input_norm"]["bias"])
+        for i, layer in enumerate(fc["layers"]):
+            put_linear(f"input_layer.layers.{i}", layer)
+
+    if mdef.transformer:
+        tdef = mdef.transformer
+        d = tdef.d_model
+        tr = params["transformer"]
+        for i, lp in enumerate(tr["layers"]):
+            at = f"encoder.layers.{i}.self_attn.linears"
+            qkv_w = np.asarray(lp["qkv"]["w"])  # [d, 3d]
+            qkv_b = np.asarray(lp["qkv"]["b"])
+            for j in range(3):
+                sd[f"{at}.{j}.weight"] = np.ascontiguousarray(
+                    qkv_w[:, j * d:(j + 1) * d].T
+                )
+                sd[f"{at}.{j}.bias"] = qkv_b[j * d:(j + 1) * d]
+            put_linear(f"{at}.3", lp["out"])
+            put_linear(f"encoder.layers.{i}.feed_forward.w_1", lp["ff1"])
+            put_linear(f"encoder.layers.{i}.feed_forward.w_2", lp["ff2"])
+            put_std_norm(f"encoder.layers.{i}.sublayer.0.norm", lp["ln1"])
+            put_std_norm(f"encoder.layers.{i}.sublayer.1.norm", lp["ln2"])
+        put_std_norm("encoder.norm", tr["final_ln"])
+        if tdef.positional_encoding == "learned":
+            sd["encoder.position.pe.weight"] = np.asarray(tr["pe"]["table"])
+        elif tdef.positional_encoding == "fixed":
+            sd["encoder.position.pe"] = np.asarray(tr["pe"]["table"])
+
+    put_linear("output_layer.w_1", params["output"])
+    return sd
+
+
 def load_torch_state_dict(path: str) -> Dict[str, Any]:
     """Load a reference ``model.pkl`` (a pickled torch state_dict).
 
@@ -187,34 +243,57 @@ def load_torch_state_dict(path: str) -> Dict[str, Any]:
 
 def parse_args():
     p = argparse.ArgumentParser(
-        description="Convert a reference (allRank torch) model.pkl into this "
-        "framework's model.npz"
+        description="Convert checkpoints between the reference (allRank "
+        "torch model.pkl) and this framework (model.npz)"
     )
     p.add_argument("--config-file-name", required=True,
                    help="the config the checkpoint was trained with")
-    p.add_argument("--input-model-path", required=True, help="model.pkl")
-    p.add_argument("--output-model-path", required=True, help="model.npz")
+    p.add_argument("--input-model-path", required=True,
+                   help="model.pkl (import) or model.npz (export)")
+    p.add_argument("--output-model-path", required=True,
+                   help="model.npz (import) or model.pkl (export)")
     p.add_argument("--n-features", required=True, type=int,
                    help="feature dimensionality of the training data")
+    p.add_argument("--direction", choices=("import", "export"),
+                   default="import",
+                   help="'import': reference pkl -> npz (default); "
+                   "'export': npz -> reference-layout pkl")
     return p.parse_args()
 
 
 def run() -> None:
+    import jax
+
     from allrank_tpu.config import Config
-    from allrank_tpu.models.factory import make_model, num_params
-    from allrank_tpu.training.checkpoint import save_params
+    from allrank_tpu.models.factory import init_params, make_model, num_params
+    from allrank_tpu.training.checkpoint import load_params, save_params
     from allrank_tpu.utils.ltr_logging import get_logger
 
     args = parse_args()
     config = Config.from_json(args.config_file_name)
     mdef = make_model(config.model, n_features=args.n_features)
-    state = load_torch_state_dict(args.input_model_path)
-    params = torch_state_dict_to_params(state, mdef)
-    save_params(params, args.output_model_path)
-    get_logger().info(
-        "imported %d reference tensors -> %s (%d parameters)",
-        len(state), args.output_model_path, num_params(params),
-    )
+    if args.direction == "import":
+        state = load_torch_state_dict(args.input_model_path)
+        params = torch_state_dict_to_params(state, mdef)
+        save_params(params, args.output_model_path)
+        get_logger().info(
+            "imported %d reference tensors -> %s (%d parameters)",
+            len(state), args.output_model_path, num_params(params),
+        )
+    else:
+        import torch
+
+        template = init_params(jax.random.PRNGKey(0), mdef)
+        params = load_params(template, args.input_model_path)
+        sd = {
+            k: torch.from_numpy(np.ascontiguousarray(v))
+            for k, v in params_to_torch_state_dict(params, mdef).items()
+        }
+        torch.save(sd, args.output_model_path)
+        get_logger().info(
+            "exported %d parameters -> %s (%d reference tensors)",
+            num_params(params), args.output_model_path, len(sd),
+        )
 
 
 if __name__ == "__main__":
