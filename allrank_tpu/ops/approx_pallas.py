@@ -124,41 +124,18 @@ def approx_pos_available(slate_length: int, batch: int) -> bool:
 
     if jax.default_backend() != "tpu" or slate_length > MAX_FUSED_LENGTH:
         return False
-    from allrank_tpu.ops.soft_sort import _batch_shard_axes
-    from allrank_tpu.parallel.mesh import ambient_mesh
+    from allrank_tpu.ops.soft_sort import per_shard_batch
 
-    phys = ambient_mesh()
-    if phys is not None:
-        axes = _batch_shard_axes(phys, batch)
-        if axes is None:
-            return False
-        shards = 1
-        for a in axes:
-            shards *= phys.shape[a]
-        batch = batch // shards
-    elif jax.device_count() != 1:
-        return False
-    return _block(batch, slate_length) is not None
+    b = per_shard_batch(batch)
+    return b is not None and _block(b, slate_length) is not None
 
 
 def approx_pos(yp_sorted, valid, *, alpha, eps):
     """Mesh-aware dispatch: per-shard via shard_map over every mesh axis
     that divides the batch (the pod code path), direct on a single chip."""
-    from allrank_tpu.ops.soft_sort import _batch_shard_axes
-    from allrank_tpu.parallel.mesh import ambient_mesh
+    from allrank_tpu.ops.soft_sort import dispatch_batch_sharded
 
     kw = dict(alpha=alpha, eps=eps)
-    phys = ambient_mesh()
-    axes = (_batch_shard_axes(phys, yp_sorted.shape[0])
-            if phys is not None else None)
-    if axes is None:
-        return fused_approx_pos(yp_sorted, valid, **kw)
-    from jax.sharding import PartitionSpec as P
-
-    return jax.shard_map(
-        lambda *a: fused_approx_pos(*a, **kw),
-        mesh=phys,
-        in_specs=(P(axes),) * 2,
-        out_specs=P(axes),
-        check_vma=False,
-    )(yp_sorted, valid)
+    return dispatch_batch_sharded(
+        lambda *a: fused_approx_pos(*a, **kw), (yp_sorted, valid)
+    )

@@ -250,39 +250,17 @@ def lambda_pairs_available(slate_length: int, batch: int) -> bool:
     """True when the fused kernel (direct or via mesh shard_map) can run."""
     if jax.default_backend() != "tpu" or slate_length > MAX_FUSED_LENGTH:
         return False
-    from allrank_tpu.ops.soft_sort import _batch_shard_axes
-    from allrank_tpu.parallel.mesh import ambient_mesh
+    from allrank_tpu.ops.soft_sort import per_shard_batch
 
-    phys = ambient_mesh()
-    if phys is not None:
-        axes = _batch_shard_axes(phys, batch)
-        if axes is None:
-            return False
-        shards = 1
-        for a in axes:
-            shards *= phys.shape[a]
-        batch = batch // shards  # per-shard batch must block legally
-    elif jax.device_count() != 1:
-        return False
-    return _block(batch, slate_length) is not None
+    b = per_shard_batch(batch)  # per-shard batch must block legally
+    return b is not None and _block(b, slate_length) is not None
 
 
 def lambda_pairs(yp, ts, g, valid, **kw):
     """Mesh-aware dispatch: per-shard via shard_map over every mesh axis
     that divides the batch (the pod code path), direct on a single chip."""
-    from allrank_tpu.ops.soft_sort import _batch_shard_axes
-    from allrank_tpu.parallel.mesh import ambient_mesh
+    from allrank_tpu.ops.soft_sort import dispatch_batch_sharded
 
-    phys = ambient_mesh()
-    axes = _batch_shard_axes(phys, yp.shape[0]) if phys is not None else None
-    if axes is None:
-        return fused_lambda_pairs(yp, ts, g, valid, **kw)
-    from jax.sharding import PartitionSpec as P
-
-    return jax.shard_map(
-        lambda *a: fused_lambda_pairs(*a, **kw),
-        mesh=phys,
-        in_specs=(P(axes),) * 4,
-        out_specs=(P(axes), P(axes)),
-        check_vma=False,
-    )(yp, ts, g, valid)
+    return dispatch_batch_sharded(
+        lambda *a: fused_lambda_pairs(*a, **kw), (yp, ts, g, valid), n_out=2
+    )

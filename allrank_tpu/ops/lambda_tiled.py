@@ -330,38 +330,16 @@ def tiled_lambda_available(slate_length: int, batch: int) -> bool:
     """True when the tiled kernel (direct or via mesh shard_map) can run."""
     if jax.default_backend() != "tpu" or slate_length > MAX_TILED_LENGTH:
         return False
-    from allrank_tpu.ops.soft_sort import _batch_shard_axes
-    from allrank_tpu.parallel.mesh import ambient_mesh
+    from allrank_tpu.ops.soft_sort import per_shard_batch
 
-    phys = ambient_mesh()
-    if phys is not None:
-        axes = _batch_shard_axes(phys, batch)
-        if axes is None:
-            return False
-        shards = 1
-        for a in axes:
-            shards *= phys.shape[a]
-        batch = batch // shards
-    elif jax.device_count() != 1:
-        return False
-    return _pick_tiles(batch, _padded_len(slate_length)) is not None
+    b = per_shard_batch(batch)
+    return b is not None and _pick_tiles(b, _padded_len(slate_length)) is not None
 
 
 def tiled_lambda(yp, ts, g, valid, **kw):
     """Mesh-aware dispatch mirroring ops/lambda_pallas.lambda_pairs."""
-    from allrank_tpu.ops.soft_sort import _batch_shard_axes
-    from allrank_tpu.parallel.mesh import ambient_mesh
+    from allrank_tpu.ops.soft_sort import dispatch_batch_sharded
 
-    phys = ambient_mesh()
-    axes = _batch_shard_axes(phys, yp.shape[0]) if phys is not None else None
-    if axes is None:
-        return tiled_lambda_pairs(yp, ts, g, valid, **kw)
-    from jax.sharding import PartitionSpec as P
-
-    return jax.shard_map(
-        lambda *a: tiled_lambda_pairs(*a, **kw),
-        mesh=phys,
-        in_specs=(P(axes),) * 4,
-        out_specs=(P(axes), P(axes)),
-        check_vma=False,
-    )(yp, ts, g, valid)
+    return dispatch_batch_sharded(
+        lambda *a: tiled_lambda_pairs(*a, **kw), (yp, ts, g, valid), n_out=2
+    )

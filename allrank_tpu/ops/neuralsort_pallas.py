@@ -245,13 +245,9 @@ def soft_sort_available(slate_length: int, n_flat: int) -> bool:
     """True when the fused kernel (direct or via mesh shard_map) can run."""
     if jax.default_backend() != "tpu" or slate_length > MAX_FUSED_LENGTH:
         return False
-    from allrank_tpu.ops.soft_sort import _batch_shard_axes
-    from allrank_tpu.parallel.mesh import ambient_mesh
+    from allrank_tpu.ops.soft_sort import per_shard_batch
 
-    phys = ambient_mesh()
-    if phys is not None:
-        return _batch_shard_axes(phys, n_flat) is not None
-    return jax.device_count() == 1
+    return per_shard_batch(n_flat) is not None
 
 
 def soft_sort_contract(scores, pad_mask, vec, *, tau, max_iter=50,
@@ -259,20 +255,9 @@ def soft_sort_contract(scores, pad_mask, vec, *, tau, max_iter=50,
     """Mesh-aware dispatch: per-shard via shard_map over every mesh axis that
     divides the flattened batch (stochastic samples ride idle shards), direct
     on a single chip."""
-    from allrank_tpu.ops.soft_sort import _batch_shard_axes
-    from allrank_tpu.parallel.mesh import ambient_mesh
+    from allrank_tpu.ops.soft_sort import dispatch_batch_sharded
 
     kw = dict(tau=tau, max_iter=max_iter, transpose=transpose)
-    phys = ambient_mesh()
-    axes = _batch_shard_axes(phys, scores.shape[0]) if phys is not None else None
-    if axes is None:
-        return fused_soft_sort_contract(scores, pad_mask, vec, **kw)
-    from jax.sharding import PartitionSpec as P
-
-    return jax.shard_map(
-        lambda *a: fused_soft_sort_contract(*a, **kw),
-        mesh=phys,
-        in_specs=(P(axes),) * 3,
-        out_specs=P(axes),
-        check_vma=False,
-    )(scores, pad_mask, vec)
+    return dispatch_batch_sharded(
+        lambda *a: fused_soft_sort_contract(*a, **kw), (scores, pad_mask, vec)
+    )

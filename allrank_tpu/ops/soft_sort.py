@@ -45,6 +45,52 @@ def _batch_shard_axes(phys, batch: int):
     return tuple(chosen) if chosen else None
 
 
+def per_shard_batch(batch: int):
+    """Leading-dim rows a kernel invocation sees under the current dispatch
+    regime: ``batch`` itself on a bare single chip, the per-shard slice under
+    an ambient mesh (every divisible axis claimed), or None when no legal
+    dispatch exists (multi-device without a mesh, or a mesh none of whose
+    axes divides ``batch``). The availability half of the shared mesh-gate
+    used by every batch-sharded Pallas dispatcher."""
+    from allrank_tpu.parallel.mesh import ambient_mesh
+
+    phys = ambient_mesh()
+    if phys is not None:
+        axes = _batch_shard_axes(phys, batch)
+        if axes is None:
+            return None
+        shards = 1
+        for a in axes:
+            shards *= phys.shape[a]
+        return batch // shards
+    return batch if jax.device_count() == 1 else None
+
+
+def dispatch_batch_sharded(fn, args, n_out: int = 1):
+    """Run ``fn(*args)`` directly on a bare single chip, or per-shard via
+    ``shard_map`` over every mesh axis that divides the leading batch dim of
+    ``args[0]`` (the pod code path — pallas_call has no SPMD partition rule).
+    ``fn`` must map batch-major arrays to ``n_out`` batch-major arrays, with
+    all non-batch structure closed over. The execution half of the shared
+    mesh-gate; callers guarantee legality via ``per_shard_batch`` first."""
+    from allrank_tpu.parallel.mesh import ambient_mesh
+
+    phys = ambient_mesh()
+    axes = _batch_shard_axes(phys, args[0].shape[0]) if phys is not None else None
+    if axes is None:
+        return fn(*args)
+    from jax.sharding import PartitionSpec as P
+
+    spec = P(axes)
+    return jax.shard_map(
+        fn,
+        mesh=phys,
+        in_specs=(spec,) * len(args),
+        out_specs=spec if n_out == 1 else (spec,) * n_out,
+        check_vma=False,  # pallas outputs carry no vma info
+    )(*args)
+
+
 def batch_shard_hint(flat: jnp.ndarray) -> jnp.ndarray:
     """Under jit with an ambient mesh, constrain the leading (flattened
     sample*batch) axis of ``flat`` to shard over every divisible mesh axis —
