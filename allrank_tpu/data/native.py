@@ -2,8 +2,10 @@
 
 The parser is the data path's hot spot on multi-GB MSLR-style files; the C++
 implementation is ~an order of magnitude faster than the pure-python reader.
-Falls back to None (callers use sklearn) when the shared library has not been
-built. Build with: ``python setup.py build_native`` or ``make native``.
+The shared libraries auto-build from their .cpp sources on first use when
+missing (fresh checkouts need no manual step); ``make native`` prebuilds
+them, and callers fall back to the sklearn/python paths when no compiler is
+available or ``ALLRANK_TPU_NO_NATIVE_BUILD`` is set.
 """
 
 from __future__ import annotations
@@ -17,6 +19,42 @@ import numpy as np
 _LIB = None
 _LIB_TRIED = False
 
+_CXX_FLAGS = ["-O3", "-std=c++17", "-shared", "-fPIC", "-pthread", "-Wall"]
+
+
+def _ensure_built(so_path: str) -> Optional[str]:
+    """Build ``<name>.so`` from its sibling ``<name>.cpp`` on first use when
+    missing (same flags as the Makefile target), so fresh checkouts work
+    without a manual ``make native``. Compiles to a temp file and renames
+    atomically (concurrent test workers race safely). Returns the .so path,
+    or None when the source is absent or compilation fails (callers fall
+    back to the pure-python/sklearn paths)."""
+    if os.path.exists(so_path):
+        return so_path
+    cpp = so_path[:-3] + ".cpp"
+    if not os.path.exists(cpp) or os.environ.get("ALLRANK_TPU_NO_NATIVE_BUILD"):
+        return None
+    import shutil
+    import subprocess
+    import tempfile
+
+    gxx = shutil.which("g++") or shutil.which("c++")
+    if gxx is None:
+        return None
+    fd, tmp = tempfile.mkstemp(suffix=".so", dir=os.path.dirname(so_path))
+    os.close(fd)
+    try:
+        subprocess.run(
+            [gxx, *_CXX_FLAGS, "-o", tmp, cpp],
+            check=True, capture_output=True, timeout=120,
+        )
+        os.replace(tmp, so_path)
+        return so_path
+    except Exception:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        return None
+
 
 def _find_library() -> Optional[str]:
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -27,7 +65,7 @@ def _find_library() -> Optional[str]:
     for c in candidates:
         if os.path.exists(c):
             return c
-    return None
+    return _ensure_built(candidates[0])
 
 
 def _load():
@@ -101,7 +139,7 @@ def _load_assembler():
         return None
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(here, "native", "slate_assembler.so")
-    if not os.path.exists(path):
+    if _ensure_built(path) is None:
         return None
     try:
         lib = ctypes.CDLL(path)
@@ -158,7 +196,7 @@ def _load_writer():
         return None
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(here, "native", "libsvm_writer.so")
-    if not os.path.exists(path):
+    if _ensure_built(path) is None:
         return None
     try:
         lib = ctypes.CDLL(path)
