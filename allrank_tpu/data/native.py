@@ -41,18 +41,36 @@ def _ensure_built(so_path: str) -> Optional[str]:
     gxx = shutil.which("g++") or shutil.which("c++")
     if gxx is None:
         return None
-    fd, tmp = tempfile.mkstemp(suffix=".so", dir=os.path.dirname(so_path))
-    os.close(fd)
+    tmp = None
     try:
+        # mkstemp itself can fail (read-only package dir, e.g. a system
+        # install under a non-root user) — that must degrade to the
+        # pure-python path too, not crash the data pipeline.
+        fd, tmp = tempfile.mkstemp(suffix=".so", dir=os.path.dirname(so_path))
+        os.close(fd)
         subprocess.run(
             [gxx, *_CXX_FLAGS, "-o", tmp, cpp],
             check=True, capture_output=True, timeout=120,
         )
         os.replace(tmp, so_path)
         return so_path
-    except Exception:
-        if os.path.exists(tmp):
-            os.unlink(tmp)
+    except Exception as exc:
+        # Surface the degraded mode once: a silently broken toolchain would
+        # otherwise drop users onto the ~10x slower python parser with no clue.
+        import logging
+
+        stderr = getattr(exc, "stderr", b"") or b""
+        logging.getLogger("allrank_tpu").warning(
+            "native build of %s failed (%s%s); falling back to the pure-python path",
+            os.path.basename(so_path),
+            type(exc).__name__,
+            (": " + stderr.decode(errors="replace")[:500]) if stderr else "",
+        )
+        if tmp is not None and os.path.exists(tmp):
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
         return None
 
 

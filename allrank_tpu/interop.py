@@ -237,6 +237,12 @@ def load_torch_state_dict(path: str) -> Dict[str, Any]:
     try:
         state = torch.load(path, map_location="cpu", weights_only=True)
     except TypeError:  # torch < 1.13 has no weights_only
+        import logging
+
+        logging.getLogger("allrank_tpu").warning(
+            "installed torch lacks weights_only: falling back to full "
+            "unpickling of %s — only load checkpoints you trust", path,
+        )
         state = torch.load(path, map_location="cpu")
     return {k: _to_numpy(v) for k, v in state.items()}
 

@@ -135,3 +135,33 @@ class TestNativeWriter:
         np.testing.assert_array_equal(
             np.asarray(X.todense(), dtype=np.float32)[:2], slates_x[0][:2])
         assert (y != -1.0).all()
+
+
+class TestEnsureBuiltFallback:
+    """Any filesystem/toolchain failure in the on-demand build must degrade
+    to the pure-python path (return None), never crash the data pipeline."""
+
+    def test_readonly_package_dir_degrades_to_none(self, tmp_path, monkeypatch):
+        import tempfile
+
+        import allrank_tpu.data.native as native
+
+        (tmp_path / "thing.cpp").write_text("int main(){return 0;}\n")
+
+        def deny(*a, **k):
+            raise PermissionError("read-only package dir")
+
+        # chmod can't model this under root; simulate the unwritable dir
+        monkeypatch.setattr(tempfile, "mkstemp", deny)
+        assert native._ensure_built(str(tmp_path / "thing.so")) is None
+
+    def test_broken_source_logs_compiler_stderr(self, tmp_path, caplog):
+        import logging
+
+        import allrank_tpu.data.native as native
+
+        (tmp_path / "broken.cpp").write_text("this is not C++\n")
+        with caplog.at_level(logging.WARNING, logger="allrank_tpu"):
+            assert native._ensure_built(str(tmp_path / "broken.so")) is None
+        assert any("native build" in r.message and "falling back" in r.message
+                   for r in caplog.records)
