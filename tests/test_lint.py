@@ -1,0 +1,172 @@
+"""The CI lint gate must catch the pyflakes-grade problem classes it claims
+to (undefined names, unused imports/locals, broken cross-module imports,
+return-annotation drift) — and stay clean on the repo's own idioms."""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+from lint import lint_file  # noqa: E402
+from scope_lint import ModuleIndex  # noqa: E402
+
+
+def _lint(tmp_path, source, index=None):
+    p = tmp_path / "case.py"
+    p.write_text(textwrap.dedent(source))
+    return [msg for _, msg in lint_file(str(p), index)]
+
+
+def _codes(msgs):
+    return {m.split()[0] for m in msgs}
+
+
+class TestCatchesInjectedProblems:
+    def test_undefined_name(self, tmp_path):
+        msgs = _lint(tmp_path, """
+            def f(x):
+                return x + missing_thing
+        """)
+        assert any(m.startswith("F821") and "missing_thing" in m for m in msgs)
+
+    def test_unused_import(self, tmp_path):
+        msgs = _lint(tmp_path, """
+            import json
+            import os
+
+            print(os.sep)
+        """)
+        assert any(m.startswith("F401") and "json" in m for m in msgs)
+
+    def test_unused_local(self, tmp_path):
+        msgs = _lint(tmp_path, """
+            def f(x):
+                dead = 3
+                return x
+        """)
+        assert any(m.startswith("F841") and "dead" in m for m in msgs)
+
+    def test_unused_except_name(self, tmp_path):
+        msgs = _lint(tmp_path, """
+            def f():
+                try:
+                    return 1
+                except ValueError as exc:
+                    return 0
+        """)
+        assert any(m.startswith("F841") and "exc" in m for m in msgs)
+
+    def test_none_annotation_returning_value(self, tmp_path):
+        msgs = _lint(tmp_path, """
+            def f() -> None:
+                return 42
+        """)
+        assert any(m.startswith("R201") for m in msgs)
+
+    def test_value_annotation_never_returning(self, tmp_path):
+        msgs = _lint(tmp_path, """
+            def f(a) -> int:
+                print(a)
+        """)
+        assert any(m.startswith("R201") for m in msgs)
+
+    def test_cross_module_missing_name(self, tmp_path):
+        index = ModuleIndex([os.path.join(REPO, "allrank_tpu")])
+        msgs = _lint(tmp_path, """
+            from allrank_tpu.metrics import ndcg, definitely_not_a_metric
+
+            print(ndcg, definitely_not_a_metric)
+        """, index)
+        assert any(m.startswith("F822") and "definitely_not_a_metric" in m
+                   for m in msgs)
+
+
+class TestCleanOnRealIdioms:
+    def test_scope_chain_and_comprehensions(self, tmp_path):
+        msgs = _lint(tmp_path, """
+            import functools
+
+
+            def outer(items):
+                bound = 2
+
+                @functools.lru_cache()
+                def inner(k):
+                    return k * bound
+
+                pairs = {k: inner(k) for k in items if k > bound}
+                total = sum(v for v in pairs.values())
+                return [total for _ in range(3)]
+        """)
+        assert not _codes(msgs) & {"F821", "F841"}, msgs
+
+    def test_class_scope_invisible_to_methods(self, tmp_path):
+        msgs = _lint(tmp_path, """
+            CONST = 5
+
+
+            class C:
+                attr = CONST
+
+                def m(self):
+                    return CONST + self.attr
+        """)
+        assert "F821" not in _codes(msgs), msgs
+
+    def test_abstract_and_stub_bodies_exempt(self, tmp_path):
+        msgs = _lint(tmp_path, """
+            import abc
+
+
+            class B(abc.ABC):
+                @abc.abstractmethod
+                def f(self) -> int:
+                    ...
+
+                def g(self) -> int:
+                    raise NotImplementedError
+        """)
+        assert "R201" not in _codes(msgs), msgs
+
+    def test_walrus_globals_and_augassign(self, tmp_path):
+        msgs = _lint(tmp_path, """
+            total = 0
+
+
+            def bump(xs):
+                global total
+                if (n := len(xs)) > 0:
+                    total += n
+                return total
+        """)
+        assert not _codes(msgs) & {"F821", "F841"}, msgs
+
+    def test_star_import_files_skip_f821(self, tmp_path):
+        msgs = _lint(tmp_path, """
+            from os.path import *  # noqa
+
+            print(join("a", "b"))
+        """)
+        assert "F821" not in _codes(msgs), msgs
+
+
+def test_make_ci_gate_fails_on_injected_problem(tmp_path):
+    bad = tmp_path / "mod.py"
+    bad.write_text("def f():\n    return not_defined_anywhere\n")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "lint.py"), str(bad)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 1
+    assert "F821" in r.stdout
+
+
+def test_repo_is_lint_clean():
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "lint.py")],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr

@@ -8,6 +8,10 @@ disallowed, so this enforces a meaningful subset with ast/tokenize alone
   * F401 unused module-level imports (respects ``# noqa`` on the line)
   * F403 star imports
   * F811 duplicate top-level definitions
+  * F821 undefined names (scope-aware, tools/scope_lint.py)
+  * F841 unused local variables
+  * F822 cross-module from-imports naming things the target module lacks
+  * R201 return-annotation consistency (minimal)
 
 Usage: ``python tools/lint.py [paths...]`` (default: allrank_tpu tests tools).
 Exit code 1 on any finding.
@@ -18,6 +22,14 @@ from __future__ import annotations
 import ast
 import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from scope_lint import (  # noqa: E402
+    ModuleIndex,
+    ScopeChecker,
+    check_annotations,
+    check_cross_module,
+)
 
 MAX_LINE = 120
 
@@ -69,7 +81,7 @@ class _ImportUsage(ast.NodeVisitor):
         self.generic_visit(node)
 
 
-def lint_file(path: str):
+def lint_file(path: str, index=None):
     problems = []
     with open(path, encoding="utf-8") as f:
         src = f.read()
@@ -129,14 +141,25 @@ def lint_file(path: str):
             # string-annotation / doctest references are rare here; keep strict
             if name not in src.replace(f"import {name}", "", 1):
                 problems.append((lineno, f"F401 '{display}' imported but unused"))
+
+    # scope-aware passes (pyflakes-grade)
+    checker = ScopeChecker(tree)
+    scoped = checker.undefined_names() + checker.unused_locals()
+    scoped += check_annotations(tree)
+    if index is not None:
+        scoped += check_cross_module(tree, index)
+    problems.extend((ln, msg) for ln, msg in scoped if ln not in noqa)
     return problems
 
 
 def main() -> int:
     paths = sys.argv[1:] or ["allrank_tpu", "tests", "tools"]
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg_root = os.path.join(repo_root, "allrank_tpu")
+    index = ModuleIndex([pkg_root]) if os.path.isdir(pkg_root) else None
     n = 0
     for path in _iter_py(paths):
-        for lineno, msg in sorted(lint_file(path)):
+        for lineno, msg in sorted(lint_file(path, index)):
             print(f"{path}:{lineno}: {msg}")
             n += 1
     if n:

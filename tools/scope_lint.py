@@ -1,0 +1,602 @@
+"""Scope-aware lint passes (pyflakes-grade, stdlib ast only).
+
+The image has no flake8/pyflakes/mypy, so these passes re-implement the
+high-value checks the reference CI gets from them
+(reference Makefile lint/mypy targets):
+
+  * F821 undefined name — full scope chain: function -> enclosing
+    functions (class bodies are skipped for nested lookups, as in Python)
+    -> module -> builtins. Files with a star import are exempt (F403
+    already flags those).
+  * F841 unused local variable — simple assignments and ``except .. as``
+    names bound in a function and never read (``_``-prefixed exempt).
+  * F822 cross-module import check — ``from pkg.mod import name`` where
+    ``pkg.mod`` is a repo module that defines no top-level ``name`` (and
+    ``name`` is not a submodule).
+  * R201 annotation consistency — a function annotated ``-> None`` that
+    ``return``s a value, and a function with a concrete return annotation
+    whose body contains no value-return/yield (stubs, @abstractmethod,
+    @overload, and always-raising bodies exempt).
+
+Used by tools/lint.py; ``# noqa`` on the flagged line suppresses.
+"""
+
+from __future__ import annotations
+
+import ast
+import builtins
+import os
+from typing import Dict, List, Optional, Set, Tuple
+
+BUILTINS: Set[str] = set(dir(builtins)) | {
+    "__file__", "__name__", "__doc__", "__package__", "__spec__",
+    "__builtins__", "__debug__", "__loader__", "__path__", "__dict__",
+    "__class__",  # implicit cell inside methods using super()/__class__
+    "WindowsError",
+}
+
+Problem = Tuple[int, str]
+
+
+class _Scope:
+    __slots__ = ("kind", "bindings", "loads", "globals", "nonlocals", "parent")
+
+    def __init__(self, kind: str, parent: Optional["_Scope"]):
+        self.kind = kind  # module | function | class | comprehension
+        self.bindings: Dict[str, int] = {}
+        self.loads: Set[str] = set()
+        self.globals: Set[str] = set()
+        self.nonlocals: Set[str] = set()
+        self.parent = parent
+
+
+class ScopeChecker(ast.NodeVisitor):
+    """One pass collecting bindings + loads per lexical scope, then a
+    resolution sweep for F821/F841."""
+
+    def __init__(self, tree: ast.Module):
+        self.module_scope = _Scope("module", None)
+        self.scope = self.module_scope
+        self.has_star_import = False
+        # (scope, name, lineno) of every load, resolved after the walk so
+        # later bindings in the same scope count (no order checking).
+        self.pending_loads: List[Tuple[_Scope, str, int]] = []
+        # candidate unused locals: (scope, name, lineno, code)
+        self.local_binds: List[Tuple[_Scope, str, int, str]] = []
+        self.visit(tree)
+
+    # -- scope plumbing ----------------------------------------------------
+    def _push(self, kind: str) -> _Scope:
+        self.scope = _Scope(kind, self.scope)
+        return self.scope
+
+    def _pop(self) -> None:
+        assert self.scope.parent is not None
+        self.scope = self.scope.parent
+
+    def _bind(self, name: str, lineno: int) -> None:
+        s = self.scope
+        if name in s.globals:
+            self.module_scope.bindings.setdefault(name, lineno)
+            return
+        if name in s.nonlocals:
+            p = s.parent
+            while p is not None and p.kind != "function":
+                p = p.parent
+            (p or self.module_scope).bindings.setdefault(name, lineno)
+            return
+        s.bindings.setdefault(name, lineno)
+
+    def _load(self, name: str, lineno: int) -> None:
+        self.pending_loads.append((self.scope, name, lineno))
+        self.scope.loads.add(name)
+
+    # -- definitions -------------------------------------------------------
+    def _visit_func(self, node) -> None:
+        self._bind(node.name, node.lineno)
+        for d in node.decorator_list:
+            self.visit(d)
+        args = node.args
+        for default in list(args.defaults) + [
+            d for d in args.kw_defaults if d is not None
+        ]:
+            self.visit(default)
+        for a in (
+            list(args.posonlyargs) + list(args.args) + list(args.kwonlyargs)
+            + ([args.vararg] if args.vararg else [])
+            + ([args.kwarg] if args.kwarg else [])
+        ):
+            if a.annotation is not None:
+                self.visit(a.annotation)
+        if node.returns is not None:
+            self.visit(node.returns)
+        self._push("function")
+        for a in (
+            list(args.posonlyargs) + list(args.args) + list(args.kwonlyargs)
+            + ([args.vararg] if args.vararg else [])
+            + ([args.kwarg] if args.kwarg else [])
+        ):
+            self._bind(a.arg, node.lineno)
+        for stmt in node.body:
+            self.visit(stmt)
+        self._pop()
+
+    def visit_FunctionDef(self, node):
+        self._visit_func(node)
+
+    def visit_AsyncFunctionDef(self, node):
+        self._visit_func(node)
+
+    def visit_Lambda(self, node):
+        args = node.args
+        for default in list(args.defaults) + [
+            d for d in args.kw_defaults if d is not None
+        ]:
+            self.visit(default)
+        self._push("function")
+        for a in (
+            list(args.posonlyargs) + list(args.args) + list(args.kwonlyargs)
+            + ([args.vararg] if args.vararg else [])
+            + ([args.kwarg] if args.kwarg else [])
+        ):
+            self._bind(a.arg, node.lineno)
+        self.visit(node.body)
+        self._pop()
+
+    def visit_ClassDef(self, node):
+        self._bind(node.name, node.lineno)
+        for d in node.decorator_list:
+            self.visit(d)
+        for b in node.bases:
+            self.visit(b)
+        for k in node.keywords:
+            self.visit(k.value)
+        self._push("class")
+        for stmt in node.body:
+            self.visit(stmt)
+        self._pop()
+
+    # -- imports / declarations ---------------------------------------------
+    def visit_Import(self, node):
+        for a in node.names:
+            self._bind((a.asname or a.name).split(".")[0], node.lineno)
+
+    def visit_ImportFrom(self, node):
+        for a in node.names:
+            if a.name == "*":
+                self.has_star_import = True
+                continue
+            self._bind(a.asname or a.name, node.lineno)
+
+    def visit_Global(self, node):
+        self.scope.globals.update(node.names)
+
+    def visit_Nonlocal(self, node):
+        self.scope.nonlocals.update(node.names)
+
+    # -- assignment targets --------------------------------------------------
+    def _bind_target(self, target, simple: bool) -> None:
+        """simple=True means a lone Name target (F841-eligible)."""
+        if isinstance(target, ast.Name):
+            self._bind(target.id, target.lineno)
+            if simple and self.scope.kind == "function":
+                self.local_binds.append(
+                    (self.scope, target.id, target.lineno, "F841")
+                )
+        elif isinstance(target, (ast.Tuple, ast.List)):
+            for el in target.elts:
+                self._bind_target(el, simple=False)
+        elif isinstance(target, ast.Starred):
+            self._bind_target(target.value, simple=False)
+        else:  # Attribute / Subscript: a load of the base, not a binding
+            self.visit(target)
+
+    def visit_Assign(self, node):
+        self.visit(node.value)
+        simple = len(node.targets) == 1
+        for t in node.targets:
+            self._bind_target(t, simple=simple and isinstance(t, ast.Name))
+
+    def visit_AnnAssign(self, node):
+        self.visit(node.annotation)
+        if node.value is not None:
+            self.visit(node.value)
+        if isinstance(node.target, ast.Name):
+            self._bind(node.target.id, node.lineno)
+            if node.value is not None and self.scope.kind == "function":
+                self.local_binds.append(
+                    (self.scope, node.target.id, node.lineno, "F841")
+                )
+        else:
+            self.visit(node.target)
+
+    def visit_AugAssign(self, node):
+        self.visit(node.value)
+        if isinstance(node.target, ast.Name):
+            # an augmented assignment both loads and binds
+            self._load(node.target.id, node.lineno)
+            self._bind(node.target.id, node.lineno)
+        else:
+            self.visit(node.target)
+
+    def visit_NamedExpr(self, node):  # walrus
+        self.visit(node.value)
+        self._bind(node.target.id, node.lineno)
+
+    def visit_For(self, node):
+        self.visit(node.iter)
+        self._bind_target(node.target, simple=False)
+        for s in node.body:
+            self.visit(s)
+        for s in node.orelse:
+            self.visit(s)
+
+    visit_AsyncFor = visit_For
+
+    def visit_withitem(self, node):
+        self.visit(node.context_expr)
+        if node.optional_vars is not None:
+            self._bind_target(node.optional_vars, simple=False)
+
+    def visit_ExceptHandler(self, node):
+        if node.type is not None:
+            self.visit(node.type)
+        if node.name:
+            self._bind(node.name, node.lineno)
+            if self.scope.kind == "function":
+                self.local_binds.append(
+                    (self.scope, node.name, node.lineno, "F841except")
+                )
+        for s in node.body:
+            self.visit(s)
+
+    def visit_MatchAs(self, node):
+        if node.pattern is not None:
+            self.visit(node.pattern)
+        if node.name:
+            self._bind(node.name, node.lineno)
+
+    def visit_MatchStar(self, node):
+        if node.name:
+            self._bind(node.name, node.lineno)
+
+    def visit_MatchMapping(self, node):
+        self.generic_visit(node)
+        if node.rest:
+            self._bind(node.rest, node.lineno)
+
+    # -- comprehensions: own scope in py3 -------------------------------------
+    def _visit_comp(self, node, exprs) -> None:
+        # first iterable evaluates in the enclosing scope
+        self.visit(node.generators[0].iter)
+        self._push("comprehension")
+        for i, gen in enumerate(node.generators):
+            if i > 0:
+                self.visit(gen.iter)
+            self._bind_target(gen.target, simple=False)
+            for cond in gen.ifs:
+                self.visit(cond)
+        for e in exprs:
+            self.visit(e)
+        self._pop()
+
+    def visit_ListComp(self, node):
+        self._visit_comp(node, [node.elt])
+
+    def visit_SetComp(self, node):
+        self._visit_comp(node, [node.elt])
+
+    def visit_GeneratorExp(self, node):
+        self._visit_comp(node, [node.elt])
+
+    def visit_DictComp(self, node):
+        self._visit_comp(node, [node.key, node.value])
+
+    # -- loads -----------------------------------------------------------------
+    def visit_Name(self, node):
+        if isinstance(node.ctx, ast.Load):
+            self._load(node.id, node.lineno)
+        elif isinstance(node.ctx, ast.Del):
+            self._load(node.id, node.lineno)
+
+    # -- resolution --------------------------------------------------------------
+    def undefined_names(self) -> List[Problem]:
+        if self.has_star_import:
+            return []
+        problems: List[Problem] = []
+        seen: Set[Tuple[str, int]] = set()
+        for scope, name, lineno in self.pending_loads:
+            if name in BUILTINS:
+                continue
+            s: Optional[_Scope] = scope
+            found = False
+            first = True
+            while s is not None:
+                # a class body is invisible to scopes nested inside it
+                if s.kind != "class" or first:
+                    if name in s.bindings:
+                        found = True
+                        break
+                    if name in s.globals:
+                        found = name in self.module_scope.bindings
+                        break
+                first = False
+                s = s.parent
+            if not found and (name, lineno) not in seen:
+                seen.add((name, lineno))
+                problems.append((lineno, f"F821 undefined name '{name}'"))
+        return problems
+
+    def unused_locals(self) -> List[Problem]:
+        # a name read in any scope NESTED inside its binder counts as used;
+        # approximate with "read anywhere in the file under the same name,
+        # in this scope or any scope whose chain passes through it".
+        reads_by_scope: Dict[int, Set[str]] = {}
+        for scope, name, _ in self.pending_loads:
+            s: Optional[_Scope] = scope
+            while s is not None:
+                reads_by_scope.setdefault(id(s), set()).add(name)
+                s = s.parent
+        problems: List[Problem] = []
+        flagged: Set[Tuple[int, str]] = set()
+        for scope, name, lineno, code in self.local_binds:
+            if name.startswith("_"):
+                continue
+            if name in scope.globals or name in scope.nonlocals:
+                continue
+            if name in reads_by_scope.get(id(scope), set()):
+                continue
+            if (id(scope), name) in flagged:
+                continue
+            flagged.add((id(scope), name))
+            label = (
+                "local variable" if code == "F841" else "exception variable"
+            )
+            problems.append(
+                (lineno, f"F841 {label} '{name}' is assigned to but never used")
+            )
+        return problems
+
+
+# --------------------------------------------------------------------------
+# cross-module import resolution
+# --------------------------------------------------------------------------
+
+class ModuleIndex:
+    """Top-level binding names per repo module, for F822 checks."""
+
+    def __init__(self, roots: List[str]):
+        self.names: Dict[str, Set[str]] = {}
+        self.star: Set[str] = set()
+        self.packages: Set[str] = set()
+        for root in roots:
+            base = os.path.basename(os.path.abspath(root))
+            parent = os.path.dirname(os.path.abspath(root))
+            for dirpath, _dirs, files in os.walk(root):
+                for f in files:
+                    if not f.endswith(".py"):
+                        continue
+                    path = os.path.join(dirpath, f)
+                    rel = os.path.relpath(path, parent)
+                    mod = rel[:-3].replace(os.sep, ".")
+                    if mod.endswith(".__init__"):
+                        mod = mod[: -len(".__init__")]
+                        self.packages.add(mod)
+                    self._index(path, mod)
+            self.packages.add(base)
+
+    def _index(self, path: str, mod: str) -> None:
+        try:
+            with open(path, encoding="utf-8") as f:
+                tree = ast.parse(f.read(), filename=path)
+        except (SyntaxError, OSError):
+            return
+        names: Set[str] = set()
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                                 ast.ClassDef)):
+                names.add(node.name)
+            elif isinstance(node, ast.Assign):
+                for t in node.targets:
+                    for el in ast.walk(t):
+                        if isinstance(el, ast.Name):
+                            names.add(el.id)
+            elif isinstance(node, ast.AnnAssign):
+                if isinstance(node.target, ast.Name):
+                    names.add(node.target.id)
+            elif isinstance(node, ast.Import):
+                for a in node.names:
+                    names.add((a.asname or a.name).split(".")[0])
+            elif isinstance(node, ast.ImportFrom):
+                for a in node.names:
+                    if a.name == "*":
+                        self.star.add(mod)
+                    else:
+                        names.add(a.asname or a.name)
+            elif isinstance(node, (ast.If, ast.Try)):
+                # common guarded-definition idiom: index both branches
+                for sub in ast.walk(node):
+                    if isinstance(sub, (ast.FunctionDef, ast.AsyncFunctionDef,
+                                        ast.ClassDef)):
+                        names.add(sub.name)
+                    elif isinstance(sub, ast.Import):
+                        for a in sub.names:
+                            names.add((a.asname or a.name).split(".")[0])
+                    elif isinstance(sub, ast.ImportFrom):
+                        for a in sub.names:
+                            if a.name != "*":
+                                names.add(a.asname or a.name)
+                    elif isinstance(sub, ast.Assign):
+                        for t in sub.targets:
+                            for el in ast.walk(t):
+                                if isinstance(el, ast.Name):
+                                    names.add(el.id)
+        self.names[mod] = names
+
+    def check_import_from(self, module: Optional[str],
+                          names: List[ast.alias]) -> List[str]:
+        """Return missing names for ``from module import names`` against the
+        index; empty when the module is external/starred/unknown."""
+        if module is None or module not in self.names:
+            return []
+        if module in self.star:
+            return []
+        missing = []
+        for a in names:
+            if a.name == "*":
+                continue
+            if a.name in self.names[module]:
+                continue
+            if f"{module}.{a.name}" in self.names or \
+                    f"{module}.{a.name}" in self.packages:
+                continue  # importing a submodule
+            missing.append(a.name)
+        return missing
+
+
+def check_cross_module(tree: ast.Module, index: ModuleIndex) -> List[Problem]:
+    problems: List[Problem] = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and node.level == 0:
+            for name in index.check_import_from(node.module, node.names):
+                problems.append(
+                    (node.lineno,
+                     f"F822 '{name}' not found in module '{node.module}'")
+                )
+        elif isinstance(node, ast.Import):
+            for a in node.names:
+                top = a.name.split(".")[0]
+                if top in index.packages or any(
+                    m == top or m.startswith(top + ".") for m in index.names
+                ):
+                    if a.name not in index.names and \
+                            a.name not in index.packages:
+                        problems.append(
+                            (node.lineno,
+                             f"F822 module '{a.name}' not found in repo")
+                        )
+    return problems
+
+
+# -----------------------------------------------------------------------------
+# minimal annotation consistency
+# -----------------------------------------------------------------------------
+
+def _is_none_annotation(node) -> bool:
+    return (isinstance(node, ast.Constant) and node.value is None) or (
+        isinstance(node, ast.Name) and node.id == "None"
+    )
+
+
+def _annotation_says_no_value(node) -> bool:
+    if _is_none_annotation(node):
+        return True
+    name = None
+    if isinstance(node, ast.Name):
+        name = node.id
+    elif isinstance(node, ast.Attribute):
+        name = node.attr
+    elif isinstance(node, ast.Constant) and isinstance(node.value, str):
+        return node.value in ("None", "NoReturn", "Never")
+    return name in ("NoReturn", "Never")
+
+
+def _body_is_stub(body) -> bool:
+    stmts = [
+        s for s in body
+        if not (isinstance(s, ast.Expr) and isinstance(s.value, ast.Constant))
+    ]
+    if not stmts:
+        return True
+    if all(isinstance(s, (ast.Pass, ast.Raise)) for s in stmts):
+        return True
+    return False
+
+
+def _decorated_as_stub(node) -> bool:
+    for d in node.decorator_list:
+        name = d.attr if isinstance(d, ast.Attribute) else (
+            d.id if isinstance(d, ast.Name) else None
+        )
+        if isinstance(d, ast.Call):
+            f = d.func
+            name = f.attr if isinstance(f, ast.Attribute) else (
+                f.id if isinstance(f, ast.Name) else None
+            )
+        if name in ("abstractmethod", "overload", "abstractproperty"):
+            return True
+    return False
+
+
+def check_annotations(tree: ast.Module) -> List[Problem]:
+    problems: List[Problem] = []
+    for node in ast.walk(tree):
+        if not isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            continue
+        if node.returns is None:
+            continue
+        # own-body returns only: don't descend into nested defs
+        returns_value = False
+        has_yield = False
+        for sub in ast.walk(node):
+            if sub is not node and isinstance(
+                sub, (ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda)
+            ):
+                continue
+            if _inside_nested_def(node, sub):
+                continue
+            if isinstance(sub, ast.Return) and sub.value is not None:
+                if not (isinstance(sub.value, ast.Constant)
+                        and sub.value.value is None):
+                    returns_value = True
+            if isinstance(sub, (ast.Yield, ast.YieldFrom)):
+                has_yield = True
+        if _annotation_says_no_value(node.returns):
+            if returns_value and not _is_none_annotation(node.returns):
+                continue  # NoReturn handled below only for None annotation
+            if returns_value:
+                problems.append(
+                    (node.lineno,
+                     f"R201 '{node.name}' is annotated '-> None' but "
+                     "returns a value")
+                )
+        else:
+            if (not returns_value and not has_yield
+                    and not _body_is_stub(node.body)
+                    and not _decorated_as_stub(node)
+                    and not _always_raises(node.body)):
+                problems.append(
+                    (node.lineno,
+                     f"R201 '{node.name}' has a return annotation but "
+                     "never returns a value")
+                )
+    return problems
+
+
+def _always_raises(body) -> bool:
+    last = body[-1]
+    if isinstance(last, ast.Raise):
+        return True
+    if isinstance(last, ast.While) and isinstance(
+        last.test, ast.Constant
+    ) and last.test.value:
+        return True  # `while True:` driver loops
+    return False
+
+
+_NESTED_CACHE: Dict[int, Set[int]] = {}
+
+
+def _inside_nested_def(func, node) -> bool:
+    key = id(func)
+    if key not in _NESTED_CACHE:
+        inner: Set[int] = set()
+        for sub in ast.walk(func):
+            if sub is not func and isinstance(
+                sub, (ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda)
+            ):
+                for s2 in ast.walk(sub):
+                    if s2 is not sub:
+                        inner.add(id(s2))
+        _NESTED_CACHE[key] = inner
+    return id(node) in _NESTED_CACHE[key]
