@@ -64,10 +64,19 @@ def open_local_or_gs(path, mode):
 
 
 def copy_local_to_gs(source_local: str, destination_uri: str) -> None:
+    """Recursively upload the CONTENTS of ``source_local`` under
+    ``destination_uri`` (reference semantics: ``gsutil cp -r src/* dst``,
+    allrank/utils/file_utils.py:77-80).
+
+    The trailing slash on the source matters: without it, fsspec nests the
+    upload under ``basename(source_local)`` whenever the destination prefix
+    already exists — for a reused job_dir that would scatter results under
+    the local tempdir's random name."""
     import gcsfs
 
     fs = gcsfs.GCSFileSystem()
-    fs.put(source_local, destination_uri, recursive=True)
+    fs.put(source_local.rstrip("/") + "/", destination_uri.rstrip("/") + "/",
+           recursive=True)
 
 
 def copy_file_to_local(uri: str) -> str:
