@@ -131,6 +131,9 @@ def make_rank_ids_step(mdef: LTRModelDef, click_fn=None):
         y_ranked = jnp.take_along_axis(y, order, axis=1)
         if click_fn is None:
             return ids_ranked, y_ranked
+        if getattr(click_fn, "needs_x", False):
+            x_ranked = jnp.take_along_axis(x, order[..., None], axis=1)
+            return ids_ranked, y_ranked, click_fn(rng, y_ranked, x_ranked)
         return ids_ranked, y_ranked, click_fn(rng, y_ranked)
 
     return jax.jit(step)
@@ -213,6 +216,8 @@ def make_rank_and_click_step(mdef: LTRModelDef, click_fn):
         order = jnp.argsort(scores, axis=-1, descending=True, stable=True)
         x_ranked = jnp.take_along_axis(x, order[..., None], axis=1)
         y_ranked = jnp.take_along_axis(y, order, axis=1)
+        if getattr(click_fn, "needs_x", False):
+            return x_ranked, click_fn(rng, y_ranked, x_ranked)
         return x_ranked, click_fn(rng, y_ranked)
 
     return jax.jit(step)

@@ -82,9 +82,147 @@ def test_as_device_click_fn_mapping():
     ) is not None
     from allrank_tpu.click_models import DiverseClicksModel
 
-    assert as_device_click_fn(
-        DiverseClicksModel(BaseCascadeModel(1.0, 2))
-    ) is None  # sequential dedup stays host-side
+    fn = as_device_click_fn(DiverseClicksModel(BaseCascadeModel(1.0, 2)))
+    assert fn is not None and fn.needs_x
+
+
+def test_every_paper_click_config_is_device_mappable():
+    """The recursive scripts/local_config_click_model.json click model must
+    run fused with ranking (verdict item: full zoo on-device)."""
+    import json
+    import os
+
+    from allrank_tpu.utils.python_utils import instantiate_from_recursive_name_args
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from allrank_tpu.config import NameArgsConfig
+
+    with open(os.path.join(repo, "scripts",
+                           "local_config_click_model.json")) as f:
+        cm_cfg = json.load(f)["click_model"]
+    model = instantiate_from_recursive_name_args(NameArgsConfig(**cm_cfg))
+    fn = as_device_click_fn(model)
+    assert fn is not None and fn.needs_x
+
+
+class TestMultipleClicks:
+    def test_degenerate_probability_selects_that_model(self):
+        from allrank_tpu.click_models import MultipleClickModel
+
+        y = _labels()
+        host = MultipleClickModel(
+            [FixedClickModel([0]), FixedClickModel([1])], [1.0, 0.0]
+        )
+        fn = as_device_click_fn(host)
+        out = np.asarray(fn(jax.random.PRNGKey(0), y))
+        expected = np.asarray(fixed_clicks(None, y, [0]))
+        np.testing.assert_array_equal(out, expected)
+
+    def test_selection_rates_match_probabilities(self):
+        from allrank_tpu.click_models import MultipleClickModel
+
+        B, L = 4000, 4
+        y = jnp.full((B, L), 4.0)
+        host = MultipleClickModel(
+            [FixedClickModel([0]), FixedClickModel([1])], [0.3, 0.7]
+        )
+        fn = as_device_click_fn(host)
+        out = np.asarray(fn(jax.random.PRNGKey(1), y))
+        rate_first = (out[:, 0] == 1).mean()
+        assert abs(rate_first - 0.3) < 0.03
+
+    def test_unmappable_inner_returns_none(self):
+        from allrank_tpu.click_models import ClickModel, MultipleClickModel
+
+        class Weird(ClickModel):
+            def click(self, documents):
+                return np.zeros(3)
+
+        host = MultipleClickModel([Weird(), FixedClickModel([0])], [0.5, 0.5])
+        assert as_device_click_fn(host) is None
+
+
+class TestConditionedClicks:
+    def test_all_and_any_match_host_semantics(self):
+        from allrank_tpu.click_models import ConditionedClickModel
+
+        y = _labels()
+        real = np.asarray(y) != PADDED_Y_VALUE
+        for combiner, np_comb in ((np.all, np.all), (np.any, np.any)):
+            host = ConditionedClickModel(
+                [OnlyRelevantClickModel(1), OnlyRelevantClickModel(3)],
+                combiner,
+            )
+            fn = as_device_click_fn(host)
+            assert not fn.needs_x
+            out = np.asarray(fn(jax.random.PRNGKey(0), y))
+            for i in range(y.shape[0]):
+                row = np.asarray(y[i])[real[i]]
+                expected = np_comb(
+                    [row >= 1, row >= 3], 0
+                ).astype(int)
+                np.testing.assert_array_equal(out[i][real[i]], expected)
+                assert (out[i][~real[i]] == PADDED_Y_VALUE).all()
+
+    def test_custom_callable_combiner_stays_host_side(self):
+        from allrank_tpu.click_models import ConditionedClickModel
+
+        host = ConditionedClickModel(
+            [OnlyRelevantClickModel(1)], lambda a, axis: np.sum(a, axis) > 0
+        )
+        assert as_device_click_fn(host) is None
+
+
+class TestDiverseClicks:
+    def _slates(self, B=8, L=12, F=5, seed=3, pad_tail=4):
+        rng = np.random.RandomState(seed)
+        X = rng.randn(B, L, F).astype(np.float32)
+        y = rng.randint(0, 5, size=(B, L)).astype(np.float32)
+        y[:, -pad_tail:] = PADDED_Y_VALUE
+        X[:, -pad_tail:] = 0.0
+        return X, y
+
+    def test_matches_host_exactly_with_deterministic_inner(self):
+        from allrank_tpu.click_models import DiverseClicksModel
+
+        X, y = self._slates()
+        host = DiverseClicksModel(OnlyRelevantClickModel(2), q_percentile=0.5)
+        fn = as_device_click_fn(host)
+        out = np.asarray(fn(jax.random.PRNGKey(0), jnp.asarray(y),
+                            jnp.asarray(X)))
+        for i in range(y.shape[0]):
+            expected = np.asarray(host.click((X[i], y[i]))).astype(int)
+            real = y[i] != PADDED_Y_VALUE
+            np.testing.assert_array_equal(out[i][real], expected[real])
+            assert (out[i][~real] == PADDED_Y_VALUE).all()
+
+    def test_single_click_always_kept(self):
+        from allrank_tpu.click_models import DiverseClicksModel
+
+        X = np.zeros((1, 4, 3), dtype=np.float32)
+        y = np.asarray([[0.0, 4.0, 0.0, PADDED_Y_VALUE]], dtype=np.float32)
+        fn = as_device_click_fn(
+            DiverseClicksModel(OnlyRelevantClickModel(2), 0.5))
+        out = np.asarray(fn(jax.random.PRNGKey(0), jnp.asarray(y),
+                            jnp.asarray(X)))
+        np.testing.assert_array_equal(out[0], [0, 1, 0, PADDED_Y_VALUE])
+
+    def test_duplicate_documents_deduped(self):
+        from allrank_tpu.click_models import DiverseClicksModel
+
+        # q=0 -> margin = min pairwise distance = 0: exact duplicates are
+        # dropped (d <= 0), distinct docs survive — same as the host model
+        X = np.asarray([[[0.0, 0.0], [0.0, 0.0], [10.0, 10.0]]],
+                       dtype=np.float32)
+        y = np.asarray([[4.0, 4.0, 4.0]], dtype=np.float32)
+        host = DiverseClicksModel(OnlyRelevantClickModel(2), 0.0)
+        fn = as_device_click_fn(host)
+        out = np.asarray(fn(jax.random.PRNGKey(0), jnp.asarray(y),
+                            jnp.asarray(X)))
+        np.testing.assert_array_equal(out[0], [1, 0, 1])
+        np.testing.assert_array_equal(
+            np.asarray(host.click((X[0], y[0]))).astype(int), out[0])
 
 
 def test_max_clicks_via_mapping():
