@@ -87,27 +87,167 @@ def transformer_init(key: jax.Array, tdef: TransformerDef) -> dict:
     return params
 
 
-# Slate length from which the fused Pallas attention kernel takes over on
-# TPU. At paper scale (L=240) XLA's fused einsum attention is still faster
-# (0.66 vs 1.19 ms grad-chain at B=64 bf16, even with the batch-blocked
-# grid); the kernel wins once the materialized [B, h, L, L] score/prob
-# tensors dominate HBM traffic (2.1x at L=512, tools/bench_attention.py).
-# Set to 0 to force the kernel. Above MAX_LEN a single head's
-# [L, L] probability tile exceeds the VMEM budget and the K-tiled
-# online-softmax kernel (ops/attention_tiled.py) takes over; both kernels
-# apply attention dropout in-kernel via the on-core PRNG.
+# Fused-attention dispatch policy (measured scan-amortized grad chains,
+# tools/bench_attention.py --scan; the tunnel's ~1.3 ms dispatch floor
+# corrupts unamortized timings):
+#   * L >= 512: the kernel wins regardless of dtype/batch — the
+#     materialized [B, h, L, L] tensors dominate the XLA path's HBM traffic
+#     (2.8x at L=512 B=64 bf16).
+#   * 120 <= L < 512: the kernel wins for bf16 once enough slate-head rows
+#     feed the grid (1.5-1.7x at the paper shape L=240 B=64 h=4, i.e.
+#     g=256 rows; XLA stays faster below ~g=128 and for fp32).
+#   * L < 120: XLA (the [L, L] tiles are too small to amortize the kernel).
+# Above MAX_LEN a single head's [L, L] probability tile exceeds the VMEM
+# budget and the K-tiled online-softmax kernel (ops/attention_tiled.py)
+# takes over; both kernels apply attention dropout in-kernel via the
+# on-core PRNG.
 FUSED_ATTENTION_MIN_LEN = 512
+FUSED_ATTENTION_BF16_MIN_LEN = 120
+FUSED_ATTENTION_MIN_GROUPS = 256
 FUSED_ATTENTION_MAX_LEN = 1224
 TILED_ATTENTION_MAX_LEN = 8192
 
+# Whole-sublayer megakernel (ops/attention_block.py) dispatch: LN + QKV +
+# MHA + out-proj + dropout + residual in ONE Pallas program per slate
+# block. Measured 1.8-2.0x vs the XLA sublayer at the paper shape
+# (B=64, L=240, d=128: 0.25 vs 0.50 ms fwd+bwd incl. all weight grads) —
+# a bare attention kernel only TIES there because XLA hides the softmax's
+# VPU work under the adjacent projection matmuls, which an opaque custom
+# call cannot overlap; fusing the entire sublayer removes the competition.
+# Envelope: compile-verified to L=768 at d=128 (scoped-VMEM bound above);
+# small batches (b*h < 256 slate-head rows) stay on XLA, which wins there.
+MEGA_SUBLAYER_MIN_LEN = 120
+MEGA_SUBLAYER_MAX_LEN = 768
+MEGA_SUBLAYER_MAX_WIDTH = 256
 
-def _fused_attention_runner(slate_length: int, batch: int, p_drop: float):
+
+def _mega_sublayer_runner(slate_length: int, batch: int, tdef):
+    """Dispatch for the fused attention sublayer; None -> XLA path."""
+    if jax.default_backend() != "tpu":
+        return None
+    if not (MEGA_SUBLAYER_MIN_LEN <= slate_length <= MEGA_SUBLAYER_MAX_LEN):
+        return None
+    if tdef.d_model > MEGA_SUBLAYER_MAX_WIDTH or tdef.d_model % tdef.h:
+        return None
+
+    from allrank_tpu.ops.attention_block import attention_sublayer
+    from allrank_tpu.parallel.mesh import DATA_AXIS, ambient_mesh
+    from jax.sharding import PartitionSpec as P
+
+    h = tdef.h
+    phys = ambient_mesh()
+    if phys is None or DATA_AXIS not in phys.shape or batch % phys.shape[DATA_AXIS]:
+        if jax.device_count() != 1:
+            return None
+        if batch * h < FUSED_ATTENTION_MIN_GROUPS:
+            return None
+
+        def direct(lp, x, key_mask, seeds, p_attn, p_resid):
+            return attention_sublayer(
+                x, key_mask, lp["ln1"]["scale"], lp["ln1"]["bias"],
+                lp["qkv"]["w"], lp["qkv"]["b"], lp["out"]["w"],
+                lp["out"]["b"], seeds, h, p_attn, p_resid,
+            )
+
+        return direct
+
+    n_data = phys.shape[DATA_AXIS]
+    if (batch // n_data) * h < FUSED_ATTENTION_MIN_GROUPS:
+        return None
+
+    def sharded(lp, x, key_mask, seeds, p_attn, p_resid):
+        def body(x, m, s, g, b, wq, bq, wo, bo):
+            # de-correlate per-shard dropout streams (same rationale and
+            # stride as the bare-kernel runner below)
+            s = s + jax.lax.axis_index(DATA_AXIS).astype(jnp.int32) \
+                * jnp.int32(999999937)
+            return attention_sublayer(x, m, g, b, wq, bq, wo, bo, s, h,
+                                      p_attn, p_resid)
+
+        return jax.shard_map(
+            body, mesh=phys,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P(), P(), P(), P(),
+                      P(), P()),
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )(x, key_mask, seeds, lp["ln1"]["scale"], lp["ln1"]["bias"],
+          lp["qkv"]["w"], lp["qkv"]["b"], lp["out"]["w"], lp["out"]["b"])
+
+    return sharded
+
+
+def _kernel_beats_xla(slate_length: int, shard_batch: int, heads: int,
+                      dtype) -> bool:
+    """The measured dispatch policy above, per data shard."""
+    if not (FUSED_ATTENTION_BF16_MIN_LEN <= slate_length
+            <= TILED_ATTENTION_MAX_LEN):
+        return False
+    if slate_length >= FUSED_ATTENTION_MIN_LEN:
+        return True
+    return (dtype == jnp.bfloat16
+            and shard_batch * heads >= FUSED_ATTENTION_MIN_GROUPS)
+
+
+def _mega_ffn_runner(slate_length: int, batch: int, tdef):
+    """Dispatch for the fused FFN sublayer (ops/ffn_block.py); None -> XLA.
+    Same envelope/policy as the attention megakernel — once that kernel is
+    in, the FFN must fuse too or its HBM traffic is exposed (the XLA
+    scheduler can no longer hide it under the attention matmuls)."""
+    if jax.default_backend() != "tpu":
+        return None
+    if not (MEGA_SUBLAYER_MIN_LEN <= slate_length <= MEGA_SUBLAYER_MAX_LEN):
+        return None
+    if tdef.d_model > MEGA_SUBLAYER_MAX_WIDTH or tdef.d_ff > 1024:
+        return None
+
+    from allrank_tpu.ops.ffn_block import ffn_sublayer
+    from allrank_tpu.parallel.mesh import DATA_AXIS, ambient_mesh
+    from jax.sharding import PartitionSpec as P
+
+    phys = ambient_mesh()
+    if phys is None or DATA_AXIS not in phys.shape or batch % phys.shape[DATA_AXIS]:
+        if jax.device_count() != 1:
+            return None
+        if batch * tdef.h < FUSED_ATTENTION_MIN_GROUPS:
+            return None
+
+        def direct(lp, x, seeds, p_hidden, p_resid):
+            return ffn_sublayer(
+                x, lp["ln2"]["scale"], lp["ln2"]["bias"], lp["ff1"]["w"],
+                lp["ff1"]["b"], lp["ff2"]["w"], lp["ff2"]["b"], seeds,
+                p_hidden, p_resid,
+            )
+
+        return direct
+
+    n_data = phys.shape[DATA_AXIS]
+    if (batch // n_data) * tdef.h < FUSED_ATTENTION_MIN_GROUPS:
+        return None
+
+    def sharded(lp, x, seeds, p_hidden, p_resid):
+        def body(x, s, g, b, w1, b1, w2, b2):
+            s = s + jax.lax.axis_index(DATA_AXIS).astype(jnp.int32) \
+                * jnp.int32(999999937)
+            return ffn_sublayer(x, g, b, w1, b1, w2, b2, s, p_hidden,
+                                p_resid)
+
+        return jax.shard_map(
+            body, mesh=phys,
+            in_specs=(P(DATA_AXIS), P(), P(), P(), P(), P(), P(), P()),
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )(x, seeds, lp["ln2"]["scale"], lp["ln2"]["bias"], lp["ff1"]["w"],
+          lp["ff1"]["b"], lp["ff2"]["w"], lp["ff2"]["b"])
+
+    return sharded
+
+
+def _fused_attention_runner(slate_length: int, batch: int, p_drop: float,
+                            heads: int = 1, dtype=jnp.float32):
     """Returns a wrapper that runs the appropriate fused attention for the
     device context (directly on one chip, per-shard via shard_map over the
     data axis on meshes), or None when the XLA path should be used."""
-    if (jax.default_backend() != "tpu"
-            or not (FUSED_ATTENTION_MIN_LEN <= slate_length
-                    <= TILED_ATTENTION_MAX_LEN)):
+    if jax.default_backend() != "tpu":
         return None
     if slate_length > FUSED_ATTENTION_MAX_LEN:
         from allrank_tpu.ops.attention_tiled import tiled_slate_attention
@@ -126,7 +266,13 @@ def _fused_attention_runner(slate_length: int, batch: int, p_drop: float):
         # no usable mesh context: direct call on a single chip (mesh
         # contexts of any size, incl. 1-device, take the shard_map branch —
         # the same code path that runs on pods)
-        return base if jax.device_count() == 1 else None
+        if jax.device_count() != 1:
+            return None
+        return base if _kernel_beats_xla(slate_length, batch, heads,
+                                         dtype) else None
+    if not _kernel_beats_xla(slate_length, batch // phys.shape[DATA_AXIS],
+                             heads, dtype):
+        return None
 
     def sharded(q, k, v, key_mask, seed, p_drop):
         def body(q, k, v, m, s):
@@ -182,7 +328,7 @@ def _attention(lp: dict, tdef: TransformerDef, x, key_mask, train, rng):
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, d).astype(x.dtype)
         return dense_apply(lp["out"], ctx)
 
-    fused = _fused_attention_runner(l, b, p_drop)
+    fused = _fused_attention_runner(l, b, p_drop, heads=h, dtype=x.dtype)
     if fused is not None:
         seed = (
             jax.random.randint(rng, (), 0, 2**31 - 1, dtype=jnp.int32)
@@ -228,15 +374,34 @@ def transformer_apply(
         else [None] * n_rngs
     )
 
+    mega = _mega_sublayer_runner(x.shape[1], x.shape[0], tdef)
+    mega_ffn = _mega_ffn_runner(x.shape[1], x.shape[0], tdef)
+    p_drop_active = float(tdef.dropout) if (train and tdef.dropout > 0.0) else 0.0
+
+    def _seed_of(r):
+        if p_drop_active > 0.0 and r is not None:
+            return jax.random.randint(r, (), 0, 2**31 - 1, dtype=jnp.int32)
+        return jnp.zeros((), dtype=jnp.int32)
+
     for i, lp in enumerate(params["layers"]):
         r_attn, r_sub1, r_ff, r_sub2 = rngs[4 * i : 4 * i + 4]
         # pre-norm residual: x + drop(attn(ln(x))), then x + drop(ffn(ln(x)))
-        normed = std_layer_norm_apply(lp["ln1"], x)
-        attn_out = _attention(lp, tdef, normed, mask, train, r_attn)
-        x = x + dropout(r_sub1, attn_out, tdef.dropout, train)
+        if mega is not None:
+            seeds = jnp.stack([_seed_of(r_attn), _seed_of(r_sub1)])
+            p_eff = p_drop_active if r_attn is not None else 0.0
+            x = mega(lp, x, mask, seeds, p_eff, p_eff)
+        else:
+            normed = std_layer_norm_apply(lp["ln1"], x)
+            attn_out = _attention(lp, tdef, normed, mask, train, r_attn)
+            x = x + dropout(r_sub1, attn_out, tdef.dropout, train)
 
-        normed = std_layer_norm_apply(lp["ln2"], x)
-        hidden = dropout(r_ff, jax.nn.relu(dense_apply(lp["ff1"], normed)), tdef.dropout, train)
-        x = x + dropout(r_sub2, dense_apply(lp["ff2"], hidden), tdef.dropout, train)
+        if mega_ffn is not None:
+            seeds = jnp.stack([_seed_of(r_ff), _seed_of(r_sub2)])
+            p_eff = p_drop_active if r_ff is not None else 0.0
+            x = mega_ffn(lp, x, seeds, p_eff, p_eff)
+        else:
+            normed = std_layer_norm_apply(lp["ln2"], x)
+            hidden = dropout(r_ff, jax.nn.relu(dense_apply(lp["ff1"], normed)), tdef.dropout, train)
+            x = x + dropout(r_sub2, dense_apply(lp["ff2"], hidden), tdef.dropout, train)
 
     return std_layer_norm_apply(params["final_ln"], x)

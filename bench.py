@@ -60,15 +60,28 @@ def _build(batch, slate, feats):
 
 
 def _step_flops(step, params, opt_state, rng, b):
-    """XLA's own FLOP estimate for the compiled train step (None if the
-    backend doesn't expose cost analysis)."""
+    """XLA's FLOP estimate for the compiled train step, measured with the
+    Pallas megakernels dispatched OFF — cost analysis cannot see inside a
+    custom call, so the kernel-enabled program under-reports; the XLA-path
+    program computes the identical math and gives the honest denominator
+    for MFU. (None if the backend doesn't expose cost analysis.)"""
+    import allrank_tpu.models.transformer as T
+
+    saved = (T._mega_sublayer_runner, T._mega_ffn_runner,
+             T._fused_attention_runner)
     try:
+        T._mega_sublayer_runner = lambda *a, **k: None
+        T._mega_ffn_runner = lambda *a, **k: None
+        T._fused_attention_runner = lambda *a, **k: None
         cost = step.lower(params, opt_state, rng, b).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         return float(cost.get("flops", 0.0)) or None
     except Exception:
         return None
+    finally:
+        (T._mega_sublayer_runner, T._mega_ffn_runner,
+         T._fused_attention_runner) = saved
 
 
 def _measure(batch, slate=240, feats=136):
@@ -77,6 +90,9 @@ def _measure(batch, slate=240, feats=136):
     step, params, opt_state, b = _build(batch, slate, feats)
     rng = jax.random.PRNGKey(1)
     flops = _step_flops(step, params, opt_state, rng, b)
+    # the flop-counting lower() may have cached the kernels-off trace;
+    # drop it so the timed run compiles with the kernels dispatched
+    jax.clear_caches()
 
     # warmup / compile (forced host readback: on tunneled TPU runtimes
     # block_until_ready returns before device completion — only a value

@@ -41,6 +41,7 @@ def test_sharded_fused_attention_matches_einsum():
 
 def test_runner_selects_sharded_path_on_mesh(monkeypatch):
     monkeypatch.setattr(T, "FUSED_ATTENTION_MIN_LEN", 0)
+    monkeypatch.setattr(T, "FUSED_ATTENTION_BF16_MIN_LEN", 0)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     mesh = make_mesh(ParallelConfig(data=4, model=1))
     with mesh:

@@ -1,0 +1,142 @@
+"""Megakernel sublayers (ops/attention_block.py, ops/ffn_block.py):
+transformer-level equivalence with the XLA path, shard_map mesh parity,
+and the dispatch policy gates."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import PartitionSpec as P
+
+import allrank_tpu.models.transformer as T
+from allrank_tpu.config import ParallelConfig
+from allrank_tpu.models.transformer import TransformerDef, transformer_init
+from allrank_tpu.ops.attention_block import attention_sublayer
+from allrank_tpu.ops.ffn_block import ffn_sublayer
+from allrank_tpu.parallel import make_mesh
+
+
+def _tdef(**kw):
+    base = dict(N=2, d_model=32, d_ff=64, h=2, dropout=0.0,
+                positional_encoding=None)
+    base.update(kw)
+    return TransformerDef(**base)
+
+
+def _setup(B=8, L=48, seed=0):
+    tdef = _tdef()
+    rng = np.random.RandomState(seed)
+    params = transformer_init(jax.random.PRNGKey(0), tdef)
+    x = jnp.asarray(rng.randn(B, L, tdef.d_model).astype(np.float32))
+    mask = jnp.asarray(
+        np.arange(L)[None, :] >= rng.randint(L // 2, L + 1, size=(B, 1))
+    )
+    idx = jnp.ones((B, L), jnp.int32)
+    return tdef, params, x, mask, idx
+
+
+class TestTransformerEquivalence:
+    def test_forced_megakernels_match_xla_path(self, monkeypatch):
+        tdef, params, x, mask, idx = _setup()
+        ref = T.transformer_apply(params, tdef, x, mask, idx, train=False)
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(T, "MEGA_SUBLAYER_MIN_LEN", 0)
+        monkeypatch.setattr(T, "FUSED_ATTENTION_MIN_GROUPS", 0)
+        with pltpu.force_tpu_interpret_mode():
+            out = T.transformer_apply(params, tdef, x, mask, idx, train=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_forced_megakernels_match_xla_grads(self, monkeypatch):
+        tdef, params, x, mask, idx = _setup()
+
+        def loss(p, xx):
+            out = T.transformer_apply(p, tdef, xx, mask, idx, train=True,
+                                      rng=None)
+            return jnp.sum(jnp.sin(out))
+
+        g_ref = jax.grad(loss, argnums=(0, 1))(params, x)
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(T, "MEGA_SUBLAYER_MIN_LEN", 0)
+        monkeypatch.setattr(T, "FUSED_ATTENTION_MIN_GROUPS", 0)
+        with pltpu.force_tpu_interpret_mode():
+            g_ker = jax.grad(loss, argnums=(0, 1))(params, x)
+        for a, b in zip(jax.tree.leaves(g_ker), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5)
+
+
+class TestMeshParity:
+    def test_attention_sublayer_sharded_matches_direct(self):
+        tdef, params, x, mask, idx = _setup(B=8)
+        lp = params["layers"][0]
+        seeds = jnp.zeros((2,), jnp.int32)
+        args = (lp["ln1"]["scale"], lp["ln1"]["bias"], lp["qkv"]["w"],
+                lp["qkv"]["b"], lp["out"]["w"], lp["out"]["b"])
+        mesh = make_mesh(ParallelConfig(data=4, model=1))
+        with pltpu.force_tpu_interpret_mode():
+            direct = attention_sublayer(x, mask, *args, seeds, tdef.h,
+                                        0.0, 0.0)
+            with mesh:
+                sharded = jax.jit(jax.shard_map(
+                    lambda xx, m, *w: attention_sublayer(
+                        xx, m, *w, seeds, tdef.h, 0.0, 0.0),
+                    mesh=mesh,
+                    in_specs=(P("data"), P("data")) + (P(),) * 6,
+                    out_specs=P("data"), check_vma=False,
+                ))(x, mask, *args)
+        np.testing.assert_allclose(np.asarray(sharded), np.asarray(direct),
+                                   atol=1e-5)
+
+    def test_ffn_sublayer_sharded_matches_direct(self):
+        tdef, params, x, mask, idx = _setup(B=8)
+        lp = params["layers"][0]
+        seeds = jnp.zeros((2,), jnp.int32)
+        args = (lp["ln2"]["scale"], lp["ln2"]["bias"], lp["ff1"]["w"],
+                lp["ff1"]["b"], lp["ff2"]["w"], lp["ff2"]["b"])
+        mesh = make_mesh(ParallelConfig(data=4, model=1))
+        with pltpu.force_tpu_interpret_mode():
+            direct = ffn_sublayer(x, *args, seeds, 0.0, 0.0)
+            with mesh:
+                sharded = jax.jit(jax.shard_map(
+                    lambda xx, *w: ffn_sublayer(xx, *w, seeds, 0.0, 0.0),
+                    mesh=mesh,
+                    in_specs=(P("data"),) + (P(),) * 6,
+                    out_specs=P("data"), check_vma=False,
+                ))(x, *args)
+        np.testing.assert_allclose(np.asarray(sharded), np.asarray(direct),
+                                   atol=1e-5)
+
+
+class TestDispatchPolicy:
+    def test_cpu_backend_never_dispatches(self):
+        assert T._mega_sublayer_runner(240, 64, _tdef()) is None
+        assert T._mega_ffn_runner(240, 64, _tdef()) is None
+
+    def test_window_and_batch_gates(self, monkeypatch):
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(jax, "device_count", lambda: 1)
+        tdef = _tdef(h=4, d_model=128, d_ff=512)
+        assert T._mega_sublayer_runner(240, 64, tdef) is not None
+        assert T._mega_ffn_runner(240, 64, tdef) is not None
+        # below the length window
+        assert T._mega_sublayer_runner(64, 64, tdef) is None
+        # above the compile-verified VMEM envelope
+        assert T._mega_sublayer_runner(1024, 64, tdef) is None
+        # too few slate-head rows: XLA wins there (measured)
+        assert T._mega_sublayer_runner(240, 8, tdef) is None
+        # width outside the envelope
+        wide = _tdef(h=4, d_model=512, d_ff=2048)
+        assert T._mega_sublayer_runner(240, 64, wide) is None
+
+    def test_kernel_beats_xla_policy(self):
+        bf16, f32 = jnp.bfloat16, jnp.float32
+        # legacy unconditional window
+        assert T._kernel_beats_xla(512, 8, 4, f32)
+        # bf16 window needs enough slate-head rows
+        assert T._kernel_beats_xla(240, 64, 4, bf16)
+        assert not T._kernel_beats_xla(240, 16, 4, bf16)
+        assert not T._kernel_beats_xla(240, 64, 4, f32)
+        assert not T._kernel_beats_xla(64, 64, 4, bf16)

@@ -286,6 +286,103 @@ def check_tiled_dropout_grads() -> None:
           f"rel dq/dk/dv = {rels[0]:.2e}/{rels[1]:.2e}/{rels[2]:.2e}")
 
 
+def check_mega_sublayers() -> None:
+    """Attention + FFN megakernels on hardware: value/grad parity vs the
+    XLA path at p=0, dropout determinism + mean preservation."""
+    import allrank_tpu.models.transformer as T
+    from allrank_tpu.models.factory import init_params
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from __graft_entry__ import _flagship_mdef
+
+    B, L = 64, 240
+    mdef = _flagship_mdef(136)
+    tdef = mdef.transformer
+    params = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        init_params(jax.random.PRNGKey(0), mdef)["transformer"],
+    )
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, L, tdef.d_model), dtype=jnp.bfloat16)
+    mask = jnp.asarray(np.arange(L)[None, :] >= int(L * 0.85)).repeat(B, 0)
+    idx = jnp.ones((B, L), jnp.int32)
+
+    def loss(tp, xx):
+        out = T.transformer_apply(tp, tdef, xx, mask, idx, train=True,
+                                  rng=None)
+        # nonlinear reduction: a plain sum of the final-LN output is ~0 by
+        # construction and makes relative comparisons meaningless
+        return jnp.sum(jnp.sin(out.astype(jnp.float32)))
+
+    def fwd_out(tp, xx):
+        return T.transformer_apply(tp, tdef, xx, mask, idx, train=True,
+                                   rng=None).astype(jnp.float32)
+
+    assert T._mega_sublayer_runner(L, B, tdef) is not None, \
+        "megakernel did not dispatch at the flagship shape"
+    out_k = np.asarray(jax.jit(fwd_out)(params, x))
+    g_k = jax.jit(jax.grad(loss, argnums=(0, 1)))(params, x)
+
+    saved = (T._mega_sublayer_runner, T._mega_ffn_runner)
+    try:
+        T._mega_sublayer_runner = lambda *a, **k: None
+        T._mega_ffn_runner = lambda *a, **k: None
+        jax.clear_caches()
+        out_x = np.asarray(jax.jit(fwd_out)(params, x))
+        g_x = jax.jit(jax.grad(loss, argnums=(0, 1)))(params, x)
+    finally:
+        T._mega_sublayer_runner, T._mega_ffn_runner = saved
+        jax.clear_caches()
+
+    rel_v = float(np.abs(out_k - out_x).max() / (np.abs(out_x).max() + 1e-9))
+    rels = [
+        float(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)).max()
+              / (jnp.abs(b.astype(jnp.float32)).max() + 1e-12))
+        for a, b in zip(jax.tree.leaves(g_k), jax.tree.leaves(g_x))
+    ]
+    check("mega sublayers value matches XLA (bf16)", rel_v < 2e-2,
+          f"rel={rel_v:.2e}")
+    check("mega sublayers grads match XLA (bf16)",
+          all(e < 6e-2 for e in rels), f"max rel={max(rels):.2e}")
+
+    # dropout: deterministic given rng key, varies across keys, mean-preserving
+    def fwd(key):
+        return T.transformer_apply(params, tdef, x[:8], mask[:8], idx[:8],
+                                   train=True, rng=key)
+
+    tdef_drop = T.TransformerDef(
+        N=1, d_model=tdef.d_model, d_ff=tdef.d_ff, h=tdef.h, dropout=0.3,
+        positional_encoding=None,
+    )
+
+    def fwd_drop(key):
+        return T.transformer_apply(
+            {"layers": params["layers"][:1], "final_ln": params["final_ln"]},
+            tdef_drop, x[:64], mask[:64], idx[:64], train=True, rng=key,
+        )
+
+    jf = jax.jit(fwd_drop)
+    a = np.asarray(jf(jax.random.PRNGKey(5)), dtype=np.float32)
+    b = np.asarray(jf(jax.random.PRNGKey(5)), dtype=np.float32)
+    c = np.asarray(jf(jax.random.PRNGKey(6)), dtype=np.float32)
+    check("mega dropout deterministic given key", np.array_equal(a, b))
+    check("mega dropout varies across keys", not np.array_equal(a, c))
+
+    ref = np.asarray(
+        jax.jit(lambda: T.transformer_apply(
+            {"layers": params["layers"][:1], "final_ln": params["final_ln"]},
+            tdef_drop, x[:64], mask[:64], idx[:64], train=False,
+        ))(), dtype=np.float32)
+    acc = np.zeros_like(ref)
+    n = 32
+    for s in range(n):
+        acc += np.asarray(jf(jax.random.PRNGKey(100 + s)), dtype=np.float32)
+    rel = np.abs(acc / n - ref).mean() / (np.abs(ref).mean() + 1e-9)
+    check("mega dropout mean preserved (32 keys)", rel < 0.2,
+          f"rel_err={rel:.3f}")
+
+
 def main() -> int:
     print("device:", jax.devices()[0], "backend:", jax.default_backend())
     if jax.default_backend() != "tpu":
@@ -298,6 +395,7 @@ def main() -> int:
     check_attention_mesh_dispatch()
     check_tiled_dropout()
     check_tiled_dropout_grads()
+    check_mega_sublayers()
     if FAILURES:
         print("FAILURES:", FAILURES)
         return 1
