@@ -536,6 +536,7 @@ def check_annotations(tree: ast.Module) -> List[Problem]:
         if node.returns is None:
             continue
         # own-body returns only: don't descend into nested defs
+        nested = _nested_nodes(node)
         returns_value = False
         has_yield = False
         for sub in ast.walk(node):
@@ -543,7 +544,7 @@ def check_annotations(tree: ast.Module) -> List[Problem]:
                 sub, (ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda)
             ):
                 continue
-            if _inside_nested_def(node, sub):
+            if id(sub) in nested:
                 continue
             if isinstance(sub, ast.Return) and sub.value is not None:
                 if not (isinstance(sub.value, ast.Constant)
@@ -584,19 +585,17 @@ def _always_raises(body) -> bool:
     return False
 
 
-_NESTED_CACHE: Dict[int, Set[int]] = {}
+def _nested_nodes(func) -> Set[int]:
+    """ids of every node under a def/lambda nested inside ``func``.
 
-
-def _inside_nested_def(func, node) -> bool:
-    key = id(func)
-    if key not in _NESTED_CACHE:
-        inner: Set[int] = set()
-        for sub in ast.walk(func):
-            if sub is not func and isinstance(
-                sub, (ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda)
-            ):
-                for s2 in ast.walk(sub):
-                    if s2 is not sub:
-                        inner.add(id(s2))
-        _NESTED_CACHE[key] = inner
-    return id(node) in _NESTED_CACHE[key]
+    Computed fresh per function — a global id()-keyed cache would collide
+    when CPython reuses addresses of collected AST objects across files."""
+    inner: Set[int] = set()
+    for sub in ast.walk(func):
+        if sub is not func and isinstance(
+            sub, (ast.FunctionDef, ast.AsyncFunctionDef, ast.Lambda)
+        ):
+            for s2 in ast.walk(sub):
+                if s2 is not sub:
+                    inner.add(id(s2))
+    return inner
