@@ -91,17 +91,21 @@ def _contract(p, vec, transpose):
 
 
 def _fwd_kernel(s_ref, pad_ref, vec_ref, out_ref, a_hist_ref, b_hist_ref,
-                *, tau, max_iter, transpose):
+                a_it, b_it, *, tau, max_iter, transpose):
     s = s_ref[:, 0, :]
     m0, _, pair_pad_f, *_ = _chain(s, pad_ref[:, 0, :], tau=tau)
-    a, b = sinkhorn_loop(m0, a_hist_ref, b_hist_ref, max_iter=max_iter)
+    a, b = sinkhorn_loop(m0, a_it, b_it, max_iter=max_iter)
     p = a[:, :, None] * m0 * b[:, None, :]
     p = jnp.where(pair_pad_f > 0.5, 0.0, p)
     out_ref[:, 0, :] = _contract(p, vec_ref[:, 0, :], transpose)
+    # one relayout per program to the slate-major HBM history layout
+    a_hist_ref[...] = jnp.transpose(a_it[:], (1, 0, 2))
+    b_hist_ref[...] = jnp.transpose(b_it[:], (1, 0, 2))
 
 
 def _bwd_kernel(s_ref, pad_ref, vec_ref, a_hist_ref, b_hist_ref, dout_ref,
-                ds_ref, u_scratch, v_scratch, *, tau, max_iter, transpose):
+                ds_ref, a_it, b_it, u_scratch, v_scratch,
+                *, tau, max_iter, transpose):
     s = s_ref[:, 0, :]
     m0, p_hat, pair_pad_f, valid_f, s_filled, scaling = _chain(
         s, pad_ref[:, 0, :], tau=tau
@@ -117,7 +121,9 @@ def _bwd_kernel(s_ref, pad_ref, vec_ref, a_hist_ref, b_hist_ref, dout_ref,
     pair_valid = 1.0 - pair_pad_f
     dp = dp * pair_valid
 
-    dm0 = sinkhorn_bwd_core(m0, a_hist_ref, b_hist_ref, dp,
+    a_it[...] = jnp.transpose(a_hist_ref[:], (1, 0, 2))
+    b_it[...] = jnp.transpose(b_hist_ref[:], (1, 0, 2))
+    dm0 = sinkhorn_bwd_core(m0, a_it, b_it, a_hist_ref, b_hist_ref, dp,
                             u_scratch, v_scratch, max_iter=max_iter)
 
     # pre-fill gate: m0 = where(pair_pad, 0/1 consts, p_hat)
@@ -183,6 +189,10 @@ def _make_fused(tau, max_iter, transpose, slate_length):
                 jax.ShapeDtypeStruct((n, max_iter + 1, L), F32),
                 jax.ShapeDtypeStruct((n, max_iter + 1, L), F32),
             ],
+            scratch_shapes=[
+                pltpu.VMEM((max_iter + 1, bb, L), F32),
+                pltpu.VMEM((max_iter + 1, bb, L), F32),
+            ],
         )(s[:, None, :], pad[:, None, :], vec[:, None, :])
         return out[:, 0, :], a_hist, b_hist
 
@@ -202,8 +212,10 @@ def _make_fused(tau, max_iter, transpose, slate_length):
             out_specs=vspec,
             out_shape=jax.ShapeDtypeStruct((n, 1, L), F32),
             scratch_shapes=[
-                pltpu.VMEM((bb, max_iter, L), F32),
-                pltpu.VMEM((bb, max_iter, L), F32),
+                pltpu.VMEM((max_iter + 1, bb, L), F32),
+                pltpu.VMEM((max_iter + 1, bb, L), F32),
+                pltpu.VMEM((max_iter, bb, L), F32),
+                pltpu.VMEM((max_iter, bb, L), F32),
             ],
         )(s[:, None, :], pad[:, None, :], vec[:, None, :], a_hist, b_hist,
           dout.astype(F32)[:, None, :])
