@@ -32,7 +32,10 @@ import numpy as np
 PEAK_FLOPS_BF16 = 197e12
 
 
-def _build(batch, slate, feats):
+SCAN_STEPS = 8  # optimizer steps per dispatch (training.scan_steps)
+
+
+def _build(batch, slate, feats, scan_steps=1):
     import jax
 
     from allrank_tpu.data.batching import SlateBatch
@@ -49,13 +52,19 @@ def _build(batch, slate, feats):
     loss_fn, needs_rng = get_loss("lambdaLoss")
     step = make_train_step(
         mdef, loss_fn, {"weighing_scheme": "ndcgLoss2PP_scheme", "mu": 10.0},
-        needs_rng, optimizer, None, "bfloat16",
+        needs_rng, optimizer, None, "bfloat16", scan_steps=scan_steps,
     )
 
     x, y, indices, _ = _example_batch(batch, slate, feats)
     y[:, -40:] = -1.0  # realistic padding tail
     indices[:, -40:] = -1
-    b = jax.device_put(SlateBatch(x, y, indices, np.ones(batch, dtype=bool)))
+    b = SlateBatch(x, y, indices, np.ones(batch, dtype=bool))
+    if scan_steps > 1:
+        # K distinct stacked batches (rolled rows), as fit's _grouped feeds
+        b = SlateBatch(*(np.stack([np.roll(leaf, k, axis=0)
+                                   for k in range(scan_steps)])
+                         for leaf in b))
+    b = jax.device_put(b)
     return step, params, opt_state, b
 
 
@@ -85,38 +94,50 @@ def _step_flops(step, params, opt_state, rng, b):
 
 
 def _measure(batch, slate=240, feats=136):
+    """Times the step in the framework's production dispatch mode
+    (``training.scan_steps`` = SCAN_STEPS: one device dispatch runs K
+    optimizer steps as a lax.scan, exactly as ``fit`` does with grouped
+    batches). Per-dispatch host/tunnel latency — ~0.8 ms on this tunneled
+    runtime, irrelevant to on-chip throughput — amortizes over K steps
+    instead of polluting every step."""
     import jax
 
-    step, params, opt_state, b = _build(batch, slate, feats)
+    # flops per optimizer step from the single-step program (the scan
+    # program's cost analysis counts its body once too, but the single-step
+    # build keeps the number's provenance obvious)
+    step1, params, opt_state, b1 = _build(batch, slate, feats, scan_steps=1)
     rng = jax.random.PRNGKey(1)
-    flops = _step_flops(step, params, opt_state, rng, b)
+    flops = _step_flops(step1, params, opt_state, rng, b1)
     # the flop-counting lower() may have cached the kernels-off trace;
     # drop it so the timed run compiles with the kernels dispatched
     jax.clear_caches()
+
+    step, params, opt_state, b = _build(batch, slate, feats,
+                                        scan_steps=SCAN_STEPS)
 
     # warmup / compile (forced host readback: on tunneled TPU runtimes
     # block_until_ready returns before device completion — only a value
     # fetch truly synchronizes)
     for _ in range(3):
         params, opt_state, rng, loss, _n = step(params, opt_state, rng, b)
-    float(loss)
+    float(loss[-1])
 
-    def timed(n_steps):
+    def timed(n_dispatches):
         nonlocal params, opt_state, rng
         t0 = time.perf_counter()
-        for _ in range(n_steps):
+        for _ in range(n_dispatches):
             params, opt_state, rng, loss, _n = step(params, opt_state, rng, b)
-        float(loss)  # force completion
+        float(loss[-1])  # force completion
         return time.perf_counter() - t0
 
     # two-point measurement cancels the constant dispatch+fetch overhead;
     # best-of-3 rejects tunnel-state noise (the shared tunneled chip shows
     # ±30% run-to-run drift that a single sample cannot average out)
-    n1, n2 = 10, 50
+    n1, n2 = 5, 25
     dt = float("inf")
     for _ in range(3):
         t1, t2 = timed(n1), timed(n2)
-        dt = min(dt, max((t2 - t1) / (n2 - n1), 1e-9))
+        dt = min(dt, max((t2 - t1) / (n2 - n1) / SCAN_STEPS, 1e-9))
     mfu = (flops / dt) / PEAK_FLOPS_BF16 if flops else None
     return batch / dt, dt, flops, mfu
 
