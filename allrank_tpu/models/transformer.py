@@ -176,6 +176,99 @@ def _mega_sublayer_runner(slate_length: int, batch: int, tdef):
     return sharded
 
 
+# Whole-encoder megakernel (ops/encoder_block.py): all N blocks + the final
+# LayerNorm in one kernel pair. MEASURED NEGATIVE at flagship scale, so OFF
+# by default: chained per-sublayer launches looked ~35 us/boundary more
+# expensive than their isolated times (16 boundaries/step), but fusing the
+# whole encoder into one kernel pair only reached parity in isolation
+# (2.14 vs 2.13 ms fwd+bwd) — the in-kernel lax.fori_loop over blocks
+# (required: a python unroll holds every block's [bb, L, L] transients
+# simultaneously and overflows scoped VMEM 2.4x) costs as much scheduling
+# freedom as the boundaries cost launches — and regressed the full train
+# step 2.42 -> 3.18 ms. Kept (correctness-tested, incl. exact dropout
+# replay parity) for re-evaluation at other shapes / future Mosaic
+# versions; flip this flag to re-enable dispatch.
+MEGA_ENCODER_ENABLED = False
+
+
+def _mega_encoder_runner(slate_length: int, batch: int, tdef):
+    """Dispatch for the whole-encoder megakernel; None -> per-sublayer
+    megakernels (or the XLA path)."""
+    if not MEGA_ENCODER_ENABLED or jax.default_backend() != "tpu":
+        return None
+    if not (MEGA_SUBLAYER_MIN_LEN <= slate_length <= MEGA_SUBLAYER_MAX_LEN):
+        return None
+    if tdef.d_model > MEGA_SUBLAYER_MAX_WIDTH or tdef.d_model % tdef.h:
+        return None
+    if tdef.d_ff > 1024 or tdef.N < 1:
+        return None
+
+    from allrank_tpu.ops.encoder_block import encoder_forward, vmem_ok
+    from allrank_tpu.parallel.mesh import DATA_AXIS, ambient_mesh
+    from jax.sharding import PartitionSpec as P
+
+    if not vmem_ok(slate_length, tdef.d_model, tdef.d_ff, tdef.N):
+        return None
+    h = tdef.h
+
+    def flat_weights(params):
+        """The 12 per-block weight stacks ([N, ...] leading axis) the
+        kernel's fori_loop indexes, in encoder_block.STACKED_PER_BLOCK
+        order."""
+        layers = params["layers"]
+
+        def stk(*path):
+            leaves = [lp[path[0]][path[1]] for lp in layers]
+            return jnp.stack(leaves)
+
+        return (stk("ln1", "scale"), stk("ln1", "bias"), stk("qkv", "w"),
+                stk("qkv", "b"), stk("out", "w"), stk("out", "b"),
+                stk("ln2", "scale"), stk("ln2", "bias"), stk("ff1", "w"),
+                stk("ff1", "b"), stk("ff2", "w"), stk("ff2", "b"))
+
+    phys = ambient_mesh()
+    if (phys is None or DATA_AXIS not in phys.shape
+            or batch % phys.shape[DATA_AXIS]):
+        if jax.device_count() != 1:
+            return None
+        if batch * h < FUSED_ATTENTION_MIN_GROUPS:
+            return None
+
+        def direct(params, x, key_mask, seeds, p_drop):
+            return encoder_forward(
+                x, key_mask, seeds, flat_weights(params),
+                params["final_ln"]["scale"], params["final_ln"]["bias"],
+                h=h, p_drop=p_drop,
+            )
+
+        return direct
+
+    n_data = phys.shape[DATA_AXIS]
+    if (batch // n_data) * h < FUSED_ATTENTION_MIN_GROUPS:
+        return None
+
+    def sharded(params, x, key_mask, seeds, p_drop):
+        ws = flat_weights(params) + (params["final_ln"]["scale"],
+                                     params["final_ln"]["bias"])
+
+        def body(x, m, s, *w):
+            # de-correlate per-shard dropout streams (same stride as the
+            # sublayer runners)
+            s = s + jax.lax.axis_index(DATA_AXIS).astype(jnp.int32) \
+                * jnp.int32(999999937)
+            return encoder_forward(x, m, s, w[:-2], w[-2], w[-1], h=h,
+                                   p_drop=p_drop)
+
+        return jax.shard_map(
+            body, mesh=phys,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P()) + (P(),) * len(ws),
+            out_specs=P(DATA_AXIS),
+            check_vma=False,
+        )(x, key_mask, seeds, *ws)
+
+    return sharded
+
+
 def _kernel_beats_xla(slate_length: int, shard_batch: int, heads: int,
                       dtype) -> bool:
     """The measured dispatch policy above, per data shard."""
@@ -374,14 +467,22 @@ def transformer_apply(
         else [None] * n_rngs
     )
 
-    mega = _mega_sublayer_runner(x.shape[1], x.shape[0], tdef)
-    mega_ffn = _mega_ffn_runner(x.shape[1], x.shape[0], tdef)
     p_drop_active = float(tdef.dropout) if (train and tdef.dropout > 0.0) else 0.0
 
     def _seed_of(r):
         if p_drop_active > 0.0 and r is not None:
             return jax.random.randint(r, (), 0, 2**31 - 1, dtype=jnp.int32)
         return jnp.zeros((), dtype=jnp.int32)
+
+    enc = _mega_encoder_runner(x.shape[1], x.shape[0], tdef)
+    if enc is not None:
+        # one kernel pair for the whole encoder (incl. final LN)
+        seeds = jnp.stack([_seed_of(r) for r in rngs])
+        p_eff = p_drop_active if rngs[0] is not None else 0.0
+        return enc(params, x, mask, seeds, p_eff)
+
+    mega = _mega_sublayer_runner(x.shape[1], x.shape[0], tdef)
+    mega_ffn = _mega_ffn_runner(x.shape[1], x.shape[0], tdef)
 
     for i, lp in enumerate(params["layers"]):
         r_attn, r_sub1, r_ff, r_sub2 = rngs[4 * i : 4 * i + 4]

@@ -120,66 +120,79 @@ def _attn_ctx(qkv, padded, h, dk, scale, dtype, p_attn):
     return jnp.concatenate(parts, axis=-1).astype(dtype)
 
 
+def attn_sublayer_fwd_vmem(x, padded, gvec, bvec, wqkv, bqkv, wout, bout,
+                           seed_attn, seed_resid, *,
+                           h: int, dk: int, p_attn: float, p_resid: float):
+    """The whole attention sublayer on VMEM values:
+    ``x + drop(W_out . MHA(LN(x) . W_qkv))``. Shared by the standalone
+    sublayer kernel below and the whole-encoder kernel
+    (ops/encoder_block.py). ``gvec/bvec/bqkv/bout``: 1-D f32 parameter
+    rows; ``seed_attn/seed_resid``: already program-mixed int32 scalars."""
+    d = h * dk
+    dtype = x.dtype
+    x32 = x.astype(F32)
+    n_act, _, _, _, _ = _layer_norm(x32, gvec, bvec, d)
+    n_act = n_act.astype(dtype)
+    qkv = (_mm(n_act, wqkv.astype(dtype)) + bqkv.astype(F32)).astype(dtype)
+    if p_attn > 0.0:
+        pltpu.prng_seed(seed_attn)
+    ctx = _attn_ctx(qkv, padded, h, dk, 1.0 / (dk ** 0.5), dtype, p_attn)
+    a = _mm(ctx, wout.astype(dtype)) + bout.astype(F32)
+    if p_resid > 0.0:
+        pltpu.prng_seed(seed_resid)
+        keep = _keep_mask(a.shape, p_resid)
+        a = jnp.where(keep, a / (1.0 - p_resid), 0.0)
+    return (x32 + a).astype(dtype)
+
+
 def _fwd_kernel(seeds_ref, x_ref, mask_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
                 wout_ref, bout_ref, y_ref, *,
                 h: int, dk: int, p_attn: float, p_resid: float):
-    d = h * dk
-    dtype = x_ref.dtype
-    x = x_ref[...]
-    padded = mask_ref[:, 0]
-    x32 = x.astype(F32)
-    n_act, _, _, _, _ = _layer_norm(x32, g_ref[0], b_ref[0], d)
-    n_act = n_act.astype(dtype)
-    qkv = (_mm(n_act, wqkv_ref[...].astype(dtype))
-           + bqkv_ref[0].astype(F32)).astype(dtype)
-    if p_attn > 0.0:
-        pltpu.prng_seed(seeds_ref[0] + pl.program_id(0) * _SEED_MIX)
-    ctx = _attn_ctx(qkv, padded, h, dk, 1.0 / (dk ** 0.5), dtype, p_attn)
-    a = _mm(ctx, wout_ref[...].astype(dtype)) + bout_ref[0].astype(F32)
-    if p_resid > 0.0:
-        pltpu.prng_seed(seeds_ref[1] + pl.program_id(0) * _SEED_MIX)
-        keep = _keep_mask(a.shape, p_resid)
-        a = jnp.where(keep, a / (1.0 - p_resid), 0.0)
-    y_ref[...] = (x32 + a).astype(dtype)
+    mix = pl.program_id(0) * _SEED_MIX
+    y_ref[...] = attn_sublayer_fwd_vmem(
+        x_ref[...], mask_ref[:, 0], g_ref[0], b_ref[0], wqkv_ref[...],
+        bqkv_ref[0], wout_ref[...], bout_ref[0],
+        seeds_ref[0] + mix, seeds_ref[1] + mix,
+        h=h, dk=dk, p_attn=p_attn, p_resid=p_resid,
+    )
 
 
-def _bwd_kernel(seeds_ref, x_ref, mask_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
-                wout_ref, bout_ref, dy_ref,
-                dx_ref, dg_ref, db_ref, dwqkv_ref, dbqkv_ref, dwout_ref,
-                dbout_ref, *, h: int, dk: int, p_attn: float, p_resid: float):
+def attn_sublayer_bwd_vmem(x, padded, gvec, bvec, wqkv_in, bqkv, wout,
+                           seed_attn, seed_resid, dy, *,
+                           h: int, dk: int, p_attn: float, p_resid: float):
+    """Reverse of ``attn_sublayer_fwd_vmem`` on VMEM values (recomputes the
+    forward internals; nothing was saved). Returns
+    ``(dx, (dg, db, dwqkv, dbqkv, dwout, dbout))`` — dx in x.dtype, the
+    parameter grads as fp32 rows/mats shaped like the kernel accumulators."""
     d = h * dk
-    dtype = x_ref.dtype
-    x = x_ref[...]
-    padded = mask_ref[:, 0]
-    dy = dy_ref[...].astype(F32)
+    dtype = x.dtype
+    dy = dy.astype(F32)
     scale = 1.0 / (dk ** 0.5)
 
     # ---- recompute forward ------------------------------------------------
     x32 = x.astype(F32)
-    gvec = g_ref[0]
-    n32, xhat, denom, s, var = _layer_norm(x32, gvec, b_ref[0], d)
+    n32, xhat, denom, s, var = _layer_norm(x32, gvec, bvec, d)
     n_act = n32.astype(dtype)
-    wqkv = wqkv_ref[...].astype(dtype)
-    qkv = (_mm(n_act, wqkv) + bqkv_ref[0].astype(F32)).astype(dtype)
+    wqkv = wqkv_in.astype(dtype)
+    qkv = (_mm(n_act, wqkv) + bqkv.astype(F32)).astype(dtype)
     if p_attn > 0.0:
-        pltpu.prng_seed(seeds_ref[0] + pl.program_id(0) * _SEED_MIX)
+        pltpu.prng_seed(seed_attn)
         inv_a = 1.0 / (1.0 - p_attn)
 
     # ---- sublayer-output dropout (independent stream; da needs no ctx) ----
     da = dy
     if p_resid > 0.0:
-        pltpu.prng_seed(seeds_ref[1] + pl.program_id(0) * _SEED_MIX)
+        pltpu.prng_seed(seed_resid)
         if p_attn > 0.0:
             # the attention stream must continue from the forward's state:
             # re-seed it after using the residual stream, replaying the
             # same per-head draw order below
             keep_r = _keep_mask(da.shape, p_resid)
-            pltpu.prng_seed(seeds_ref[0] + pl.program_id(0) * _SEED_MIX)
+            pltpu.prng_seed(seed_attn)
         else:
             keep_r = _keep_mask(da.shape, p_resid)
         da = jnp.where(keep_r, da * (1.0 / (1.0 - p_resid)), 0.0)
     da = da.astype(dtype)
-    wout = wout_ref[...]
 
     # ---- single pass over heads: forward recompute + full backward.
     # Nothing outlives one iteration but the [bb, L, dk]-sized grad slices,
@@ -238,24 +251,38 @@ def _bwd_kernel(seeds_ref, x_ref, mask_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
         (n_feat - 1) * s * denom * denom
     )
     dx_ln = dc - jnp.mean(dc, axis=-1, keepdims=True)
-    dx_ref[...] = (dy + dx_ln).astype(dtype)
+    dx = (dy + dx_ln).astype(dtype)
+    return dx, (dg_c, db_c, dwqkv_c, dbqkv_c, dwout_c, dbout_c)
 
-    # ---- accumulate parameter grads across the (sequential) grid ----------
+
+def accumulate_param_grads(grads, refs):
+    """fp32 read-modify-write accumulation of per-program parameter grads
+    across the sequential TPU grid (zero-initialized by program 0)."""
     @pl.when(pl.program_id(0) == 0)
     def _init():
-        dg_ref[...] = jnp.zeros_like(dg_ref)
-        db_ref[...] = jnp.zeros_like(db_ref)
-        dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
-        dbqkv_ref[...] = jnp.zeros_like(dbqkv_ref)
-        dwout_ref[...] = jnp.zeros_like(dwout_ref)
-        dbout_ref[...] = jnp.zeros_like(dbout_ref)
+        for r in refs:
+            r[...] = jnp.zeros_like(r)
 
-    dg_ref[...] += dg_c
-    db_ref[...] += db_c
-    dwqkv_ref[...] += dwqkv_c
-    dbqkv_ref[...] += dbqkv_c
-    dwout_ref[...] += dwout_c
-    dbout_ref[...] += dbout_c
+    for g, r in zip(grads, refs):
+        r[...] += g
+
+
+def _bwd_kernel(seeds_ref, x_ref, mask_ref, g_ref, b_ref, wqkv_ref, bqkv_ref,
+                wout_ref, bout_ref, dy_ref,
+                dx_ref, dg_ref, db_ref, dwqkv_ref, dbqkv_ref, dwout_ref,
+                dbout_ref, *, h: int, dk: int, p_attn: float, p_resid: float):
+    mix = pl.program_id(0) * _SEED_MIX
+    dx, grads = attn_sublayer_bwd_vmem(
+        x_ref[...], mask_ref[:, 0], g_ref[0], b_ref[0], wqkv_ref[...],
+        bqkv_ref[0], wout_ref[...],
+        seeds_ref[0] + mix, seeds_ref[1] + mix, dy_ref[...],
+        h=h, dk=dk, p_attn=p_attn, p_resid=p_resid,
+    )
+    dx_ref[...] = dx
+    accumulate_param_grads(
+        grads,
+        (dg_ref, db_ref, dwqkv_ref, dbqkv_ref, dwout_ref, dbout_ref),
+    )
 
 
 def _batch_block(b: int, l: int) -> int:

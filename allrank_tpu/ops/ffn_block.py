@@ -37,47 +37,62 @@ from allrank_tpu.ops.attention_block import (
 )
 
 
-def _fwd_kernel(seeds_ref, x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
-                b2_ref, y_ref, *, p_hidden: float, p_resid: float):
-    dtype = x_ref.dtype
-    x32 = x_ref[...].astype(F32)
+def ffn_sublayer_fwd_vmem(x, gvec, bvec, w1, b1, w2, b2,
+                          seed_hidden, seed_resid, *,
+                          p_hidden: float, p_resid: float):
+    """The whole FFN sublayer on VMEM values:
+    ``x + drop(W2 . drop(relu(W1 . LN(x) + b1)) + b2)``. Shared by the
+    standalone kernel below and the whole-encoder kernel
+    (ops/encoder_block.py). ``gvec/bvec/b1/b2``: 1-D f32 parameter rows;
+    seeds: already program-mixed int32 scalars."""
+    dtype = x.dtype
+    x32 = x.astype(F32)
     d = x32.shape[-1]
-    n_act, _, _, _, _ = _layer_norm(x32, g_ref[0], b_ref[0], d)
+    n_act, _, _, _, _ = _layer_norm(x32, gvec, bvec, d)
     n_act = n_act.astype(dtype)
-    hidden = jnp.maximum(
-        _mm(n_act, w1_ref[...].astype(dtype)) + b1_ref[0], 0.0
-    )
+    hidden = jnp.maximum(_mm(n_act, w1.astype(dtype)) + b1, 0.0)
     if p_hidden > 0.0:
-        pltpu.prng_seed(seeds_ref[0] + pl.program_id(0) * _SEED_MIX)
+        pltpu.prng_seed(seed_hidden)
         keep = _keep_mask(hidden.shape, p_hidden)
         hidden = jnp.where(keep, hidden / (1.0 - p_hidden), 0.0)
-    out = _mm(hidden.astype(dtype), w2_ref[...].astype(dtype)) + b2_ref[0]
+    out = _mm(hidden.astype(dtype), w2.astype(dtype)) + b2
     if p_resid > 0.0:
-        pltpu.prng_seed(seeds_ref[1] + pl.program_id(0) * _SEED_MIX)
+        pltpu.prng_seed(seed_resid)
         keep_r = _keep_mask(out.shape, p_resid)
         out = jnp.where(keep_r, out / (1.0 - p_resid), 0.0)
-    y_ref[...] = (x32 + out).astype(dtype)
+    return (x32 + out).astype(dtype)
 
 
-def _bwd_kernel(seeds_ref, x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
-                b2_ref, dy_ref, dx_ref, dg_ref, db_ref, dw1_ref, db1_ref,
-                dw2_ref, db2_ref, *, p_hidden: float, p_resid: float):
-    dtype = x_ref.dtype
-    x32 = x_ref[...].astype(F32)
+def _fwd_kernel(seeds_ref, x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
+                b2_ref, y_ref, *, p_hidden: float, p_resid: float):
+    mix = pl.program_id(0) * _SEED_MIX
+    y_ref[...] = ffn_sublayer_fwd_vmem(
+        x_ref[...], g_ref[0], b_ref[0], w1_ref[...], b1_ref[0],
+        w2_ref[...], b2_ref[0], seeds_ref[0] + mix, seeds_ref[1] + mix,
+        p_hidden=p_hidden, p_resid=p_resid,
+    )
+
+
+def ffn_sublayer_bwd_vmem(x, gvec, bvec, w1_in, b1, w2_in,
+                          seed_hidden, seed_resid, dy, *,
+                          p_hidden: float, p_resid: float):
+    """Reverse of ``ffn_sublayer_fwd_vmem`` on VMEM values (recomputes the
+    forward). Returns ``(dx, (dg, db, dw1, db1, dw2, db2))``."""
+    dtype = x.dtype
+    x32 = x.astype(F32)
     d = x32.shape[-1]
-    dy = dy_ref[...].astype(F32)
-    gvec = g_ref[0]
+    dy = dy.astype(F32)
 
     # ---- recompute forward --------------------------------------------------
-    n32, xhat, denom, s, var = _layer_norm(x32, gvec, b_ref[0], d)
+    n32, xhat, denom, s, var = _layer_norm(x32, gvec, bvec, d)
     n_act = n32.astype(dtype)
-    w1 = w1_ref[...].astype(dtype)
-    w2 = w2_ref[...].astype(dtype)
-    pre = _mm(n_act, w1) + b1_ref[0]
+    w1 = w1_in.astype(dtype)
+    w2 = w2_in.astype(dtype)
+    pre = _mm(n_act, w1) + b1
     relu_gate = (pre > 0.0).astype(F32)
     hidden = jnp.maximum(pre, 0.0)
     if p_hidden > 0.0:
-        pltpu.prng_seed(seeds_ref[0] + pl.program_id(0) * _SEED_MIX)
+        pltpu.prng_seed(seed_hidden)
         inv_h = 1.0 / (1.0 - p_hidden)
         keep_h = _keep_mask(hidden.shape, p_hidden)
         hidden = jnp.where(keep_h, hidden * inv_h, 0.0)
@@ -86,7 +101,7 @@ def _bwd_kernel(seeds_ref, x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
     # ---- residual-output dropout ---------------------------------------------
     dout = dy
     if p_resid > 0.0:
-        pltpu.prng_seed(seeds_ref[1] + pl.program_id(0) * _SEED_MIX)
+        pltpu.prng_seed(seed_resid)
         keep_r = _keep_mask(dout.shape, p_resid)
         dout = jnp.where(keep_r, dout * (1.0 / (1.0 - p_resid)), 0.0)
     dout = dout.astype(dtype)
@@ -113,23 +128,25 @@ def _bwd_kernel(seeds_ref, x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
     gate = (var > VAR_FLOOR).astype(F32)
     dc = dxhat / denom - gate * c * proj / ((d - 1) * s * denom * denom)
     dx_ln = dc - jnp.mean(dc, axis=-1, keepdims=True)
-    dx_ref[...] = (dy + dx_ln).astype(dtype)
+    dx = (dy + dx_ln).astype(dtype)
+    return dx, (dg_c, db_c, dw1_c, db1_c, dw2_c, db2_c)
 
-    @pl.when(pl.program_id(0) == 0)
-    def _init():
-        dg_ref[...] = jnp.zeros_like(dg_ref)
-        db_ref[...] = jnp.zeros_like(db_ref)
-        dw1_ref[...] = jnp.zeros_like(dw1_ref)
-        db1_ref[...] = jnp.zeros_like(db1_ref)
-        dw2_ref[...] = jnp.zeros_like(dw2_ref)
-        db2_ref[...] = jnp.zeros_like(db2_ref)
 
-    dg_ref[...] += dg_c
-    db_ref[...] += db_c
-    dw1_ref[...] += dw1_c
-    db1_ref[...] += db1_c
-    dw2_ref[...] += dw2_c
-    db2_ref[...] += db2_c
+def _bwd_kernel(seeds_ref, x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref,
+                b2_ref, dy_ref, dx_ref, dg_ref, db_ref, dw1_ref, db1_ref,
+                dw2_ref, db2_ref, *, p_hidden: float, p_resid: float):
+    from allrank_tpu.ops.attention_block import accumulate_param_grads
+
+    mix = pl.program_id(0) * _SEED_MIX
+    dx, grads = ffn_sublayer_bwd_vmem(
+        x_ref[...], g_ref[0], b_ref[0], w1_ref[...], b1_ref[0],
+        w2_ref[...], seeds_ref[0] + mix, seeds_ref[1] + mix, dy_ref[...],
+        p_hidden=p_hidden, p_resid=p_resid,
+    )
+    dx_ref[...] = dx
+    accumulate_param_grads(
+        grads, (dg_ref, db_ref, dw1_ref, db1_ref, dw2_ref, db2_ref)
+    )
 
 
 def _batch_block(b: int, l: int, d_ff: int) -> int:

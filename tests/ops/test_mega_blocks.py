@@ -5,6 +5,7 @@ and the dispatch policy gates."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import PartitionSpec as P
 
@@ -35,20 +36,32 @@ def _setup(B=8, L=48, seed=0):
     return tdef, params, x, mask, idx
 
 
+def _force_kernels(monkeypatch, encoder: bool):
+    """Force megakernel dispatch on the CPU test backend; encoder=False
+    pins the per-sublayer kernels (the whole-encoder kernel otherwise
+    takes precedence)."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(T, "MEGA_SUBLAYER_MIN_LEN", 0)
+    monkeypatch.setattr(T, "FUSED_ATTENTION_MIN_GROUPS", 0)
+    monkeypatch.setattr(T, "MEGA_ENCODER_ENABLED", encoder)
+
+
 class TestTransformerEquivalence:
-    def test_forced_megakernels_match_xla_path(self, monkeypatch):
+    @pytest.mark.parametrize("encoder", [False, True],
+                             ids=["sublayer-kernels", "encoder-kernel"])
+    def test_forced_megakernels_match_xla_path(self, monkeypatch, encoder):
         tdef, params, x, mask, idx = _setup()
         ref = T.transformer_apply(params, tdef, x, mask, idx, train=False)
 
-        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-        monkeypatch.setattr(T, "MEGA_SUBLAYER_MIN_LEN", 0)
-        monkeypatch.setattr(T, "FUSED_ATTENTION_MIN_GROUPS", 0)
+        _force_kernels(monkeypatch, encoder)
         with pltpu.force_tpu_interpret_mode():
             out = T.transformer_apply(params, tdef, x, mask, idx, train=False)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5)
 
-    def test_forced_megakernels_match_xla_grads(self, monkeypatch):
+    @pytest.mark.parametrize("encoder", [False, True],
+                             ids=["sublayer-kernels", "encoder-kernel"])
+    def test_forced_megakernels_match_xla_grads(self, monkeypatch, encoder):
         tdef, params, x, mask, idx = _setup()
 
         def loss(p, xx):
@@ -58,12 +71,37 @@ class TestTransformerEquivalence:
 
         g_ref = jax.grad(loss, argnums=(0, 1))(params, x)
 
-        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-        monkeypatch.setattr(T, "MEGA_SUBLAYER_MIN_LEN", 0)
-        monkeypatch.setattr(T, "FUSED_ATTENTION_MIN_GROUPS", 0)
+        _force_kernels(monkeypatch, encoder)
         with pltpu.force_tpu_interpret_mode():
             g_ker = jax.grad(loss, argnums=(0, 1))(params, x)
         for a, b in zip(jax.tree.leaves(g_ker), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5)
+
+    def test_encoder_kernel_matches_sublayer_kernels_with_dropout(
+            self, monkeypatch):
+        """With dropout active, the whole-encoder kernel must replay the
+        exact same per-(block, stream, program) draws as the chained
+        sublayer kernels — same seeds derivation, same PRNG discipline."""
+        tdef, params, x, mask, idx = _setup()
+        tdef = _tdef(dropout=0.25)
+        rng = jax.random.PRNGKey(7)
+
+        def loss(p, xx, enc_on):
+            monkeypatch.setattr(T, "MEGA_ENCODER_ENABLED", enc_on)
+            out = T.transformer_apply(p, tdef, xx, mask, idx, train=True,
+                                      rng=rng)
+            return jnp.sum(jnp.sin(out)), out
+
+        _force_kernels(monkeypatch, True)
+        with pltpu.force_tpu_interpret_mode():
+            (l_enc, out_enc), g_enc = jax.value_and_grad(
+                loss, argnums=0, has_aux=True)(params, x, True)
+            (l_sub, out_sub), g_sub = jax.value_and_grad(
+                loss, argnums=0, has_aux=True)(params, x, False)
+        np.testing.assert_allclose(np.asarray(out_enc), np.asarray(out_sub),
+                                   atol=2e-5)
+        for a, b in zip(jax.tree.leaves(g_enc), jax.tree.leaves(g_sub)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=5e-5)
 
