@@ -91,11 +91,14 @@ def _contract(p, vec, transpose):
 
 
 def _fwd_kernel(s_ref, pad_ref, vec_ref, out_ref, a_hist_ref, b_hist_ref,
-                a_it, b_it, *, tau, max_iter, transpose):
+                a_it, b_it, m0_s, m0t_s, *, tau, max_iter, transpose):
     s = s_ref[:, 0, :]
     m0, _, pair_pad_f, *_ = _chain(s, pad_ref[:, 0, :], tau=tau)
-    a, b = sinkhorn_loop(m0, a_it, b_it, max_iter=max_iter)
-    p = a[:, :, None] * m0 * b[:, None, :]
+    # pin the chain-produced m0 in scratch: the loop must read a REF, or
+    # Mosaic may rematerialize the whole neural-sort chain per iteration
+    m0_s[...] = m0
+    a, b = sinkhorn_loop(m0_s, a_it, b_it, m0t_s, max_iter=max_iter)
+    p = a[:, :, None] * m0_s[...] * b[:, None, :]
     p = jnp.where(pair_pad_f > 0.5, 0.0, p)
     out_ref[:, 0, :] = _contract(p, vec_ref[:, 0, :], transpose)
     # one relayout per program to the slate-major HBM history layout
@@ -104,7 +107,7 @@ def _fwd_kernel(s_ref, pad_ref, vec_ref, out_ref, a_hist_ref, b_hist_ref,
 
 
 def _bwd_kernel(s_ref, pad_ref, vec_ref, a_hist_ref, b_hist_ref, dout_ref,
-                ds_ref, a_it, b_it, u_scratch, v_scratch,
+                ds_ref, a_it, b_it, u_scratch, v_scratch, m0_s, m0t_s,
                 *, tau, max_iter, transpose):
     s = s_ref[:, 0, :]
     m0, p_hat, pair_pad_f, valid_f, s_filled, scaling = _chain(
@@ -123,8 +126,9 @@ def _bwd_kernel(s_ref, pad_ref, vec_ref, a_hist_ref, b_hist_ref, dout_ref,
 
     a_it[...] = jnp.transpose(a_hist_ref[:], (1, 0, 2))
     b_it[...] = jnp.transpose(b_hist_ref[:], (1, 0, 2))
-    dm0 = sinkhorn_bwd_core(m0, a_it, b_it, a_hist_ref, b_hist_ref, dp,
-                            u_scratch, v_scratch, max_iter=max_iter)
+    m0_s[...] = m0  # pin: loop operands must be refs (see _fwd_kernel)
+    dm0 = sinkhorn_bwd_core(m0_s, a_it, b_it, a_hist_ref, b_hist_ref, dp,
+                            u_scratch, v_scratch, m0t_s, max_iter=max_iter)
 
     # pre-fill gate: m0 = where(pair_pad, 0/1 consts, p_hat)
     dphat = dm0 * pair_valid
@@ -177,7 +181,7 @@ def _make_fused(tau, max_iter, transpose, slate_length):
 
     def fwd_call(s, pad, vec):
         n = s.shape[0]
-        bb = _block(n, L, n_mats=5, max_iter=max_iter)
+        bb = _block(n, L, n_mats=6, max_iter=max_iter)
         vspec, hspec = specs(bb)
         out, a_hist, b_hist = pl.pallas_call(
             functools.partial(_fwd_kernel, **kw),
@@ -192,6 +196,8 @@ def _make_fused(tau, max_iter, transpose, slate_length):
             scratch_shapes=[
                 pltpu.VMEM((max_iter + 1, bb, L), F32),
                 pltpu.VMEM((max_iter + 1, bb, L), F32),
+                pltpu.VMEM((bb, L, L), F32),
+                pltpu.VMEM((bb, L, L), F32),
             ],
         )(s[:, None, :], pad[:, None, :], vec[:, None, :])
         return out[:, 0, :], a_hist, b_hist
@@ -203,7 +209,7 @@ def _make_fused(tau, max_iter, transpose, slate_length):
     def bwd(res, dout):
         s, pad, vec, a_hist, b_hist = res
         n = s.shape[0]
-        bb = _block(n, L, n_mats=8, max_iter=max_iter)
+        bb = _block(n, L, n_mats=9, max_iter=max_iter)
         vspec, hspec = specs(bb)
         ds = pl.pallas_call(
             functools.partial(_bwd_kernel, **kw),
@@ -216,6 +222,8 @@ def _make_fused(tau, max_iter, transpose, slate_length):
                 pltpu.VMEM((max_iter + 1, bb, L), F32),
                 pltpu.VMEM((max_iter, bb, L), F32),
                 pltpu.VMEM((max_iter, bb, L), F32),
+                pltpu.VMEM((bb, L, L), F32),
+                pltpu.VMEM((bb, L, L), F32),
             ],
         )(s[:, None, :], pad[:, None, :], vec[:, None, :], a_hist, b_hist,
           dout.astype(F32)[:, None, :])

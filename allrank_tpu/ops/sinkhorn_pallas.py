@@ -10,17 +10,21 @@ and one write of the result. Measured on a v5e chip at N=64, L=240: the
 loss-gradient chain drops from 6.7 ms (XLA) to 4.8 ms.
 
 Precision notes (hard-won):
-  * The matvecs run as VPU multiply-reduce — exact fp32. MXU GEMVs at default
-    precision truncate to bf16 (~3e-4 relative) and the Sinkhorn gradient
-    cancels heavily, turning that into O(1)-relative gradient error;
-    Precision.HIGHEST fixes accuracy but costs 6 MXU passes per 1-row GEMV
-    and benches slower than the VPU form.
+  * The matvecs run as batched MXU matvecs with the vector as the fully
+    CONTRACTED right operand — measured exact fp32 (rel ~3e-7 over the full
+    50-iteration chain) and 1.5x faster than the VPU multiply-reduce; the
+    transposed direction uses a once-per-kernel (loop-invariant) transpose
+    of M0. 1-row-GEMV forms at default precision truncate to bf16 (~2e-3
+    after 50 iterations) and the Sinkhorn gradient cancels heavily, turning
+    that into O(1)-relative gradient error; Precision.HIGHEST fixes accuracy
+    but pays 6 MXU passes and benches 2x slower than even the VPU form.
   * ``1.0 / x`` lowers to a low-precision reciprocal on TPU; the backward
     reconstructs matvec values with general division (``m_r / a_prev``)
     instead.
-The kernel's forward agrees with a float64 host reference to 3e-8, vs ~3e-4
-for the XLA-on-TPU scan (reduced-precision fp32 einsum on MXU); the custom
-VJP agrees with XLA autodiff to 6e-8.
+The kernel's forward agrees with a float64 host reference to 5e-7 (measured
+at N=64, L=240, 50 iters with the MXU matvec form), vs ~3e-4 for the
+XLA-on-TPU scan (reduced-precision fp32 einsum on MXU); the custom VJP
+matches XLA autodiff within the fp32 tolerances pinned by the unit tests.
 
 Semantics: identical to ``sinkhorn_scaling``'s fixed-point iteration (column
 normalize, then row normalize, eps-clamped), EXCEPT the early-convergence
@@ -55,21 +59,29 @@ from allrank_tpu.constants import DEFAULT_EPS
 F32 = jnp.float32
 
 
-def _matvec_T(m0, a):
-    """[S,L] x [S,L,L] -> [S,L]: (M0^T a) per slate.
+def _matvec_T(m0t, a):
+    """[S,L] x [S,L,L] -> [S,L]: (M0^T a) per slate, on the PRE-TRANSPOSED
+    ``m0t`` (callers hoist one transpose per kernel — m0 is loop-invariant).
 
-    VPU multiply-reduce: exact fp32 (the gradient chain cancels heavily, so
-    reduced-precision MXU GEMVs are not an option) and faster than a
-    Precision.HIGHEST MXU GEMV, which pays 6 passes for a 1-row operand."""
-    return jnp.sum(m0 * a[:, :, None], axis=1)
+    Batched MXU matvec with the vector as the fully-contracted RIGHT
+    operand: measured EXACT at fp32 (rel ~3e-7 over a 50-iteration
+    compounding Sinkhorn chain, same as the VPU multiply-reduce) and 1.5x
+    faster. The row-vector form (vector as a 1-row LEFT operand) is NOT
+    exact (~2e-3 after 50 iterations) and the heavily-cancelling gradient
+    chain cannot tolerate it; nor is Precision.HIGHEST viable (6 passes,
+    2x slower than VPU)."""
+    return jax.lax.dot_general(m0t, a, (((2,), (1,)), ((0,), (0,))),
+                               preferred_element_type=F32)
 
 
 def _matvec(m0, b):
-    """[S,L,L] x [S,L] -> [S,L]: (M0 b) per slate, VPU multiply-reduce."""
-    return jnp.sum(m0 * b[:, None, :], axis=2)
+    """[S,L,L] x [S,L] -> [S,L]: (M0 b) per slate; same exact MXU batched
+    matvec form as ``_matvec_T`` (see its docstring)."""
+    return jax.lax.dot_general(m0, b, (((2,), (1,)), ((0,), (0,))),
+                               preferred_element_type=F32)
 
 
-def sinkhorn_loop(m0, a_it, b_it, *, max_iter: int):
+def sinkhorn_loop(m0_ref, a_it, b_it, m0t_ref, *, max_iter: int):
     """In-kernel fixed-trip Sinkhorn on a VMEM-resident ``m0`` [S, L, L],
     recording the scaling trajectories into ITERATION-MAJOR [T+1, S, L]
     VMEM scratch refs (every per-iteration store is then a whole-tile
@@ -79,16 +91,24 @@ def sinkhorn_loop(m0, a_it, b_it, *, max_iter: int):
     Shared by the standalone kernel and the fully-fused neural-sort kernel
     (ops/neuralsort_pallas.py); callers export to the slate-major HBM
     layout with one transpose per program."""
-    s, l, _ = m0.shape
+    s, l, _ = m0_ref.shape
+    # every big loop operand is a REF (m0_ref: the kernel input block or a
+    # caller-filled scratch; m0t_ref: scratch holding the loop-invariant
+    # transpose). A bare VALUE computed by a long chain (the neural-sort
+    # m0) is fair game for Mosaic rematerialization under VMEM pressure,
+    # which re-runs the chain EVERY loop iteration (measured ~7x on the
+    # fused backward's per-iteration slope); loop-body ref reads are plain
+    # VMEM loads and cannot be rematerialized into recompute
+    m0t_ref[...] = jnp.transpose(m0_ref[...], (0, 2, 1))
     ones = jnp.ones((s, l), dtype=F32)
     a_it[0] = ones
     b_it[0] = ones
 
     def body(t, carry):
         a, b = carry
-        col = b * _matvec_T(m0, a)
+        col = b * _matvec_T(m0t_ref[...], a)
         b2 = b / jnp.maximum(col, DEFAULT_EPS)
-        row = a * _matvec(m0, b2)
+        row = a * _matvec(m0_ref[...], b2)
         a2 = a / jnp.maximum(row, DEFAULT_EPS)
         a_it[t + 1] = a2
         b_it[t + 1] = b2
@@ -97,10 +117,10 @@ def sinkhorn_loop(m0, a_it, b_it, *, max_iter: int):
     return jax.lax.fori_loop(0, max_iter, body, (ones, ones))
 
 
-def _fwd_kernel(m0_ref, p_ref, a_hist_ref, b_hist_ref, a_it, b_it,
+def _fwd_kernel(m0_ref, p_ref, a_hist_ref, b_hist_ref, a_it, b_it, m0t_s,
                 *, max_iter: int):
-    m0 = m0_ref[:]  # [S, L, L] resident for the whole loop
-    a, b = sinkhorn_loop(m0, a_it, b_it, max_iter=max_iter)
+    a, b = sinkhorn_loop(m0_ref, a_it, b_it, m0t_s, max_iter=max_iter)
+    m0 = m0_ref[:]
     p_ref[:] = a[:, :, None] * m0 * b[:, None, :]
     # one relayout per program to the slate-major HBM layout (blocks with a
     # full [T+1, L] trailing tile are legal for any slate-block size)
@@ -108,8 +128,8 @@ def _fwd_kernel(m0_ref, p_ref, a_hist_ref, b_hist_ref, a_it, b_it,
     b_hist_ref[...] = jnp.transpose(b_it[:], (1, 0, 2))
 
 
-def sinkhorn_bwd_core(m0, a_it, b_it, a_hist_sm, b_hist_sm, dp,
-                      u_scratch, v_scratch, *, max_iter: int):
+def sinkhorn_bwd_core(m0_ref, a_it, b_it, a_hist_sm, b_hist_sm, dp,
+                      u_scratch, v_scratch, m0t_ref, *, max_iter: int):
     """In-kernel reverse pass: dM0 [S, L, L] from the output cotangent ``dp``
     and the stored forward trajectories. All operands VMEM-resident.
 
@@ -119,13 +139,25 @@ def sinkhorn_bwd_core(m0, a_it, b_it, a_hist_sm, b_hist_sm, dp,
     used only by the final batched MXU matmuls (Mosaic requires the batch
     dim leading). ``u_scratch``/``v_scratch``: [T, S, L]. The loop carries
     (a_t, b_t) so each iteration issues ONE new read per trajectory."""
+    # loop-invariant transpose, pinned in scratch (see sinkhorn_loop)
+    m0t_ref[...] = jnp.transpose(m0_ref[...], (0, 2, 1))
     a_T = a_it[max_iter]
     b_T = b_it[max_iter]
 
     # dP -> (da_T, db_T) through P = a_T (.) M0 (.) b_T
-    g = dp * m0
+    g = dp * m0_ref[...]
     da = jnp.sum(g * b_T[:, None, :], axis=2)
     db = jnp.sum(g * a_T[:, :, None], axis=1)
+    # canonicalize the carry layout by round-tripping through VMEM scratch:
+    # a fori_loop carry INHERITS the layout of its entry value, and these
+    # reduction-produced [S, L] values carry a layout the loop body then
+    # pays a relayout for EVERY iteration (measured 6x on the per-iteration
+    # slope: 1.94 -> 0.34 ms at N=2048, L=240). The slots are overwritten
+    # by the real u_0 / v_0 later in the loop.
+    u_scratch[0] = da
+    v_scratch[0] = db
+    da = u_scratch[0]
+    db = v_scratch[0]
 
     # The iteration's matvec values are recovered ELEMENTWISE from the stored
     # trajectories (m_r = a_{t-1}/a_t = max(r_t, eps); (M0 b_t) = m_r/a_{t-1})
@@ -153,7 +185,7 @@ def sinkhorn_bwd_core(m0, a_it, b_it, a_hist_sm, b_hist_sm, dp,
         da_prev = da_prev + dr * mb
         u = dr * a_prev
         u_scratch[t - 1] = u                 # dM0 += outer(u, b_t), batched below
-        db_t_cot = db + _matvec_T(m0, u)
+        db_t_cot = db + _matvec_T(m0t_ref[...], u)
 
         # b_t = b_prev / m_c
         db_prev = db_t_cot / m_c
@@ -162,7 +194,7 @@ def sinkhorn_bwd_core(m0, a_it, b_it, a_hist_sm, b_hist_sm, dp,
         db_prev = db_prev + dc * mta
         v = dc * b_prev
         v_scratch[t - 1] = v                 # dM0 += outer(a_{t-1}, v), batched below
-        da_prev = da_prev + _matvec(m0, v)
+        da_prev = da_prev + _matvec(m0_ref[...], v)
 
         return (da_prev, db_prev, a_prev, b_prev)
 
@@ -191,12 +223,12 @@ def sinkhorn_bwd_core(m0, a_it, b_it, a_hist_sm, b_hist_sm, dp,
 
 
 def _bwd_kernel(m0_ref, a_hist_ref, b_hist_ref, dp_ref, dm_ref,
-                a_it, b_it, u_scratch, v_scratch, *, max_iter: int):
+                a_it, b_it, u_scratch, v_scratch, m0t_s, *, max_iter: int):
     a_it[...] = jnp.transpose(a_hist_ref[:], (1, 0, 2))
     b_it[...] = jnp.transpose(b_hist_ref[:], (1, 0, 2))
     dm_ref[:] = sinkhorn_bwd_core(
-        m0_ref[:], a_it, b_it, a_hist_ref, b_hist_ref, dp_ref[:],
-        u_scratch, v_scratch, max_iter=max_iter,
+        m0_ref, a_it, b_it, a_hist_ref, b_hist_ref, dp_ref[:],
+        u_scratch, v_scratch, m0t_s, max_iter=max_iter,
     )
 
 
@@ -227,7 +259,7 @@ def sinkhorn_core_fused(m0: jnp.ndarray, max_iter: int = 50) -> jnp.ndarray:
 
 def _sinkhorn_fwd_call(m0, max_iter):
     n, l, _ = m0.shape
-    s = _pick_block(n, l, n_mats=2, max_iter=max_iter)  # m0 + P blocks
+    s = _pick_block(n, l, n_mats=3, max_iter=max_iter)  # m0 + m0t + P
     grid = (n // s,)
     kernel = functools.partial(_fwd_kernel, max_iter=max_iter)
     return pl.pallas_call(
@@ -251,6 +283,7 @@ def _sinkhorn_fwd_call(m0, max_iter):
         scratch_shapes=[
             pltpu.VMEM((max_iter + 1, s, l), F32),
             pltpu.VMEM((max_iter + 1, s, l), F32),
+            pltpu.VMEM((s, l, l), F32),
         ],
     )(m0.astype(F32))
 
@@ -264,7 +297,7 @@ def _sinkhorn_bwd(max_iter, residuals, dp):
     m0, a_hist, b_hist = residuals
     n, l, _ = m0.shape
     # the backward holds 4 [S, L, L] blocks (m0, dP, dM out, temporaries)
-    s = _pick_block(n, l, n_mats=4, max_iter=max_iter, largest=4,
+    s = _pick_block(n, l, n_mats=5, max_iter=max_iter, largest=4,
                     n_scratch=4)
     grid = (n // s,)
     kernel = functools.partial(_bwd_kernel, max_iter=max_iter)
@@ -289,6 +322,7 @@ def _sinkhorn_bwd(max_iter, residuals, dp):
             pltpu.VMEM((max_iter + 1, s, l), F32),
             pltpu.VMEM((max_iter, s, l), F32),
             pltpu.VMEM((max_iter, s, l), F32),
+            pltpu.VMEM((s, l, l), F32),
         ],
     )(m0.astype(F32), a_hist, b_hist, dp.astype(F32))
     return (dm,)
