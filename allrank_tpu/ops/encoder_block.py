@@ -141,6 +141,13 @@ def _bwd_kernel(seeds_ref, x_ref, mask_ref, *refs,
 
     # ---- final LayerNorm backward ----------------------------------------
     dz, dgF, dbF = _final_ln_bwd(z, fs_ref[0], fb_ref[0], dy_ref[...], d)
+    # canonicalize the reverse-loop carry layout: a fori_loop carry inherits
+    # its entry value's layout, and this reduction-produced dz would force a
+    # relayout every block iteration (see ops/sinkhorn_pallas.py, measured
+    # 6x there); round-trip through the dx output block (rewritten at the
+    # end — the xs scratch slots are all still live here)
+    dx_ref[...] = dz
+    dz = dx_ref[...]
 
     # ---- zero the fp32 accumulators once (sequential TPU grid) -----------
     @pl.when(pl.program_id(0) == 0)
