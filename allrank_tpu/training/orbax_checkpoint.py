@@ -150,16 +150,34 @@ class OrbaxTrainCheckpointer:
             return None
         epoch = finalized[-1]
 
+        templates = {"params": params_template,
+                     "opt_state": opt_state_template}
+
+        # restore targets: keep mesh (Named) shardings from the template;
+        # re-home every other leaf as mesh-REPLICATED. Freshly-initialized
+        # optimizer scalars (e.g. Adam's count) are uncommitted
+        # single-device arrays — jit may move those, but a restore makes
+        # them COMMITTED, and on a multi-process mesh a committed
+        # single-device leaf can no longer enter the global train step
+        # (found by the cluster preemption drill,
+        # tests/training/test_preemption_drill.py).
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        mesh = None
+        for leaf in jax.tree.leaves(templates):
+            s = getattr(leaf, "sharding", None)
+            if isinstance(s, NamedSharding):
+                mesh = s.mesh
+                break
+
         def abstract(v):
             if not _is_saveable(v):
                 return None
             v = jax.numpy.asarray(v) if isinstance(v, np.ndarray) else v
-            return jax.ShapeDtypeStruct(
-                v.shape, v.dtype, sharding=getattr(v, "sharding", None)
-            )
-
-        templates = {"params": params_template,
-                     "opt_state": opt_state_template}
+            sharding = getattr(v, "sharding", None)
+            if mesh is not None and not isinstance(sharding, NamedSharding):
+                sharding = NamedSharding(mesh, PartitionSpec())
+            return jax.ShapeDtypeStruct(v.shape, v.dtype, sharding=sharding)
         restored = self._ckptr.restore(
             _state_dir(partial_dir, epoch),
             jax.tree.map(abstract, templates),
