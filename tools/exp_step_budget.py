@@ -151,7 +151,7 @@ def main():
                                 rng=None)
         return h + BF16(1e-6) * out
 
-    t_encf = measure(enc_fwd, h0, "encoder x4 forward only")
+    measure(enc_fwd, h0, "encoder x4 forward only")
 
     # ---- full model fwd+bwd (tower incl. FC + output) ----------------------
     xb = jnp.asarray(x)
