@@ -38,6 +38,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from allrank_tpu.constants import NEG_INF_FILL
 
+# one source of truth for the PRNG->keep-mask threshold semantics across
+# every dropout-capable kernel (ffn_block imports it from here too)
+from allrank_tpu.ops.attention_pallas import _dropout_keep as _keep_mask
+
 F32 = jnp.float32
 _SEED_MIX = 1000003
 LN_EPS = 1e-6
@@ -79,11 +83,6 @@ def _mm_t(x, w):
         x, w, dimension_numbers=(((2,), (1,)), ((), ())),
         preferred_element_type=F32,
     )
-
-
-def _keep_mask(shape, p_drop: float):
-    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    return bits >= jnp.uint32(int(p_drop * (2**32 - 1)))
 
 
 def _layer_norm(x32, scale, bias, n: int):

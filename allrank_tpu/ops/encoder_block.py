@@ -32,8 +32,11 @@ Parameter grads accumulate in fp32 across the sequential TPU grid.
 Semantics are identical to the XLA path (models/transformer.py block loop +
 final std-LayerNorm; reference allrank/models/transformer.py:83-116), with
 4 independent dropout streams per block (attention probs, attention
-residual, FFN hidden, FFN residual) seeded per (block, stream, program) —
-the same draws as the chained per-sublayer kernels (parity-tested).
+residual, FFN hidden, FFN residual) seeded per (block, stream, program).
+Forward and backward use ONE shared batch-block so the backward replays
+exactly the forward's draws at every shape; whenever the chained
+attention kernel's block size binds (it does at the parity-test shapes)
+the draws also equal the per-sublayer kernels' (parity-tested).
 """
 
 from __future__ import annotations
@@ -266,14 +269,26 @@ def _make_encoder(n_blocks: int, h: int, p_drop: float, d_ff: int):
     arrays (STACKED_PER_BLOCK order) + final LN (scale, bias).
     seeds: int32 [4 * n_blocks]."""
 
-    def fwd_call(x, key_mask, seeds, ws):
-        b, l, d = x.shape
-        dk = d // h
+    def _shared_bb(b, l, d, itemsize):
+        """ONE batch-block for both directions: the dropout streams are
+        seeded per (block, stream, program), so the slate->program mapping
+        must be identical in the forward and the backward replay or the
+        backward regenerates different masks than the forward applied.
+        Take the tighter of the chained-attention-kernel block (keeps the
+        draws equal to the per-sublayer kernels whenever it binds — the
+        parity test's regime) and the whole-encoder backward's VMEM-bound
+        block."""
         from allrank_tpu.ops.attention_block import (
             _batch_block as attn_bb,
         )
 
-        bb = attn_bb(b, l)
+        return min(attn_bb(b, l),
+                   _batch_block(b, l, d, d_ff, n_blocks, itemsize))
+
+    def fwd_call(x, key_mask, seeds, ws):
+        b, l, d = x.shape
+        dk = d // h
+        bb = _shared_bb(b, l, d, x.dtype.itemsize)
         blk, mask, vec, vecs, mats = _common_specs(l, d, bb)
         kernel = functools.partial(_fwd_kernel, n_blocks=n_blocks, h=h,
                                    dk=dk, p_drop=float(p_drop))
@@ -301,7 +316,7 @@ def _make_encoder(n_blocks: int, h: int, p_drop: float, d_ff: int):
         x, key_mask, seeds, ws = res
         b, l, d = x.shape
         dk = d // h
-        bb = _batch_block(b, l, d, d_ff, n_blocks, x.dtype.itemsize)
+        bb = _shared_bb(b, l, d, x.dtype.itemsize)
         blk, mask, vec, vecs, mats = _common_specs(l, d, bb)
         kernel = functools.partial(_bwd_kernel, n_blocks=n_blocks, h=h,
                                    dk=dk, p_drop=float(p_drop))

@@ -19,6 +19,9 @@ import socket
 import subprocess
 import sys
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))))
+
 _WORKER = r"""
 import os, sys
 import numpy as np
@@ -95,13 +98,13 @@ def test_two_process_pipeline_consumes_each_slate_once(tmp_path):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env["PYTHONPATH"] = (
-        "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+        _REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
     )
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(i), "2", coord],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
-            cwd="/root/repo",
+            cwd=_REPO_ROOT,
         )
         for i in range(2)
     ]

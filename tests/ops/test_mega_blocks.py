@@ -178,3 +178,94 @@ class TestDispatchPolicy:
         assert not T._kernel_beats_xla(240, 16, 4, bf16)
         assert not T._kernel_beats_xla(240, 64, 4, f32)
         assert not T._kernel_beats_xla(64, 64, 4, bf16)
+
+
+class TestEncoderKernelDropoutReplay:
+    """Regression: the whole-encoder kernel seeds dropout per
+    (block, stream, program), so forward and backward MUST agree on the
+    slates-per-program batch block. They once used different formulas
+    (the chained attention kernel's in fwd, the encoder's VMEM-bound one
+    in bwd), which silently replayed different masks — i.e. corrupt
+    gradients — at any shape where the formulas diverge.
+
+    NOTE the bug is INVISIBLE to interpret-mode numerics: the interpreter's
+    pltpu PRNG produces the same bits regardless of seed (measured:
+    max|out(seed1) - out(seed2)| == 0.0 with dropout active), so the
+    per-program seed mix has no effect on CPU. These tests therefore pin
+    the STRUCTURAL contract (identical fwd/bwd grids); the numeric proof
+    with the real on-core PRNG lives in tools/tpu_kernel_checks.py
+    (encoder-kernel FD check at this exact divergent shape)."""
+
+    # L-heavy shape chosen so the two block formulas DIVERGE (4 vs 2)
+    # while the backward still fits scoped VMEM (d_ff-heavy shapes OOM)
+    B, L, D, DFF, N, H = 8, 384, 64, 512, 2, 2
+
+    def test_premise_block_formulas_diverge(self):
+        from allrank_tpu.ops import attention_block, encoder_block
+
+        attn_bb = attention_block._batch_block(self.B, self.L)
+        enc_bb = encoder_block._batch_block(self.B, self.L, self.D,
+                                            self.DFF, self.N, 4)
+        assert attn_bb != enc_bb, (
+            "test shape no longer exercises the divergent regime "
+            f"(attn {attn_bb} == encoder {enc_bb}); pick a new shape")
+
+    def test_fwd_and_bwd_use_one_grid_at_divergent_shape(self, monkeypatch):
+        """Spy on pallas_call and assert the forward and backward kernels
+        launch with the SAME grid (hence the same slate->program mapping
+        and the same per-program seed mix)."""
+        import jax.experimental.pallas as pl_mod
+
+        from allrank_tpu.ops import encoder_block
+        from allrank_tpu.ops.encoder_block import encoder_forward
+
+        B, L, D, DFF, N, H = self.B, self.L, self.D, self.DFF, self.N, self.H
+        # fresh trace per run: the enc closure is lru-cached but re-traces
+        # (and re-invokes pallas_call) on every un-jitted call, so the spy
+        # sees both directions
+        grids = []
+        orig = pl_mod.pallas_call
+
+        def spy(kernel, *a, **kw):
+            gs = kw.get("grid_spec")
+            if gs is not None:
+                grids.append(tuple(gs.grid))
+            return orig(kernel, *a, **kw)
+
+        monkeypatch.setattr(encoder_block.pl, "pallas_call", spy)
+
+        rs = np.random.RandomState(11)
+        x = jnp.asarray(rs.randn(B, L, D).astype(np.float32))
+        key_mask = jnp.asarray(
+            np.arange(L)[None, :] >= rs.randint(L // 2, L + 1, size=(B, 1)))
+        seeds = jnp.asarray(rs.randint(0, 2**31 - 1, size=4 * N), jnp.int32)
+        sc = 0.2
+        ws = (
+            jnp.ones((N, D), jnp.float32),
+            jnp.zeros((N, D), jnp.float32),
+            jnp.asarray(sc * rs.randn(N, D, 3 * D), jnp.float32),
+            jnp.zeros((N, 3 * D), jnp.float32),
+            jnp.asarray(sc * rs.randn(N, D, D), jnp.float32),
+            jnp.zeros((N, D), jnp.float32),
+            jnp.ones((N, D), jnp.float32),
+            jnp.zeros((N, D), jnp.float32),
+            jnp.asarray(sc * rs.randn(N, D, DFF), jnp.float32),
+            jnp.zeros((N, DFF), jnp.float32),
+            jnp.asarray(sc * rs.randn(N, DFF, D), jnp.float32),
+            jnp.zeros((N, D), jnp.float32),
+        )
+        fs, fb = jnp.ones((D,), jnp.float32), jnp.zeros((D,), jnp.float32)
+
+        def f(xx):
+            out = encoder_forward(xx, key_mask, seeds, ws, fs, fb,
+                                  h=H, p_drop=0.25)
+            return jnp.sum(out)
+
+        with pltpu.force_tpu_interpret_mode():
+            jax.grad(f)(x)
+
+        # custom_vjp fwd + bwd = (at least) two launches, all same grid
+        assert len(grids) >= 2, grids
+        assert len(set(grids)) == 1, (
+            f"forward/backward grids diverge: {grids} — the per-program "
+            "dropout seed mix no longer matches between directions")

@@ -144,6 +144,35 @@ class TestCleanOnRealIdioms:
         """)
         assert not _codes(msgs) & {"F821", "F841"}, msgs
 
+    def test_walrus_in_comprehension_binds_enclosing_scope(self, tmp_path):
+        """PEP 572: an assignment expression inside a comprehension binds
+        in the enclosing function scope — using it after the comprehension
+        is valid Python and must not raise F821."""
+        msgs = _lint(tmp_path, """
+            def g(xs):
+                total = [y := x + 1 for x in xs]
+                return total, y
+        """)
+        assert "F821" not in _codes(msgs), msgs
+
+    def test_optional_annotation_with_return_none_ok(self, tmp_path):
+        """`-> Optional[X]` with an explicit `return None` is correct
+        typing, not a missing return value (R201 false positive)."""
+        msgs = _lint(tmp_path, """
+            from typing import Optional
+
+
+            def f(flag: bool) -> Optional[int]:
+                if flag:
+                    return 1
+                return None
+
+
+            def g() -> Optional[int]:
+                return None
+        """)
+        assert not any(m.startswith("R201") for m in msgs), msgs
+
     def test_star_import_files_skip_f821(self, tmp_path):
         msgs = _lint(tmp_path, """
             from os.path import *  # noqa

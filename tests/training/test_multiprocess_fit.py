@@ -17,6 +17,9 @@ import socket
 import subprocess
 import sys
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))))
+
 _WORKER = r"""
 import os, sys
 import numpy as np
@@ -113,13 +116,13 @@ def _run(n_procs, tmp_path, checkpoint_dir=None):
     coord = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
-    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = _REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
     extra = [checkpoint_dir] if checkpoint_dir else []
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(i), str(n_procs), coord] + extra,
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
-            cwd="/root/repo",
+            cwd=_REPO_ROOT,
         )
         for i in range(n_procs)
     ]

@@ -16,6 +16,9 @@ import socket
 import subprocess
 import sys
 
+_REPO_ROOT = os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))))
+
 _WORKER = r"""
 import os, signal, sys
 import numpy as np
@@ -149,13 +152,13 @@ def _run(n_procs, tmp_path, ck_dir, mode, n_queries=40,
     coord = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
-    env["PYTHONPATH"] = "/root/repo" + os.pathsep + env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = _REPO_ROOT + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(i), str(n_procs), coord,
              str(ck_dir), mode, str(n_queries)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
-            cwd="/root/repo",
+            cwd=_REPO_ROOT,
         )
         for i in range(n_procs)
     ]

@@ -203,10 +203,6 @@ def main():
           f"{(t_full - t_tower - t_loss - t_adam) * 1e3:8.3f} ms")
 
 
-if __name__ == "__main__":
-    main()
-
-
 def bisect_glue():
     """Measure the PE apply and final-LN pieces of the encoder glue alone."""
     from __graft_entry__ import _example_batch, _flagship_mdef
@@ -252,5 +248,9 @@ def bisect_glue():
     measure(ln_step, (h0, tparams["final_ln"]), "final LN fwd+bwd")
 
 
-if __name__ == "__main__" and os.environ.get("GLUE"):
-    bisect_glue()
+if __name__ == "__main__":
+    # GLUE=1 runs ONLY the glue bisect; default runs the full step budget
+    if os.environ.get("GLUE"):
+        bisect_glue()
+    else:
+        main()

@@ -221,7 +221,13 @@ class ScopeChecker(ast.NodeVisitor):
 
     def visit_NamedExpr(self, node):  # walrus
         self.visit(node.value)
+        # PEP 572: a walrus inside a comprehension binds in the nearest
+        # enclosing non-comprehension scope, not the comprehension's own
+        saved = self.scope
+        while self.scope.kind == "comprehension":
+            self.scope = self.scope.parent
         self._bind(node.target.id, node.lineno)
+        self.scope = saved
 
     def visit_For(self, node):
         self.visit(node.iter)
@@ -537,7 +543,8 @@ def check_annotations(tree: ast.Module) -> List[Problem]:
             continue
         # own-body returns only: don't descend into nested defs
         nested = _nested_nodes(node)
-        returns_value = False
+        returns_value = False    # returns something other than literal None
+        returns_explicit = False  # any `return <expr>`, incl. `return None`
         has_yield = False
         for sub in ast.walk(node):
             if sub is not node and isinstance(
@@ -547,6 +554,7 @@ def check_annotations(tree: ast.Module) -> List[Problem]:
             if id(sub) in nested:
                 continue
             if isinstance(sub, ast.Return) and sub.value is not None:
+                returns_explicit = True
                 if not (isinstance(sub.value, ast.Constant)
                         and sub.value.value is None):
                     returns_value = True
@@ -562,7 +570,10 @@ def check_annotations(tree: ast.Module) -> List[Problem]:
                      "returns a value")
                 )
         else:
-            if (not returns_value and not has_yield
+            # an explicit `return None` counts as a deliberate value for a
+            # non-None annotation (e.g. `-> Optional[X]` returning None on
+            # some or all paths is correct typing)
+            if (not returns_value and not returns_explicit and not has_yield
                     and not _body_is_stub(node.body)
                     and not _decorated_as_stub(node)
                     and not _always_raises(node.body)):

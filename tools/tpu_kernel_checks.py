@@ -383,6 +383,70 @@ def check_mega_sublayers() -> None:
           f"rel_err={rel:.3f}")
 
 
+
+def check_encoder_seed_grid() -> None:
+    """Whole-encoder megakernel (ops/encoder_block.py): forward/backward
+    dropout-replay agreement WITH THE REAL PRNG at a shape where the
+    chained-attention and encoder batch-block formulas diverge (fwd once
+    used the former, bwd the latter — different slate->program mapping =
+    different per-program seed mix = corrupt grads). Interpret mode cannot
+    see this (seed-independent PRNG stub), so the numeric proof is here:
+    a directional finite difference of the dropout-active forward must
+    match <grad, v> (the realized masks are constant in x)."""
+    from allrank_tpu.ops import attention_block, encoder_block
+    from allrank_tpu.ops.encoder_block import encoder_forward
+
+    B, L, D, DFF, N, H = 8, 384, 64, 512, 2, 2
+    a_bb = attention_block._batch_block(B, L)
+    e_bb = encoder_block._batch_block(B, L, D, DFF, N, 4)
+    check("encoder seed-grid: shape IS divergent", a_bb != e_bb,
+          f"attn_bb={a_bb} enc_bb={e_bb}")
+
+    rs = np.random.RandomState(11)
+    x = jnp.asarray(rs.randn(B, L, D).astype(np.float32))
+    key_mask = jnp.asarray(
+        np.arange(L)[None, :] >= rs.randint(L // 2, L + 1, size=(B, 1)))
+    seeds = jnp.asarray(rs.randint(0, 2**31 - 1, size=4 * N), jnp.int32)
+    sc = 0.2
+    ws = (
+        jnp.ones((N, D), jnp.float32), jnp.zeros((N, D), jnp.float32),
+        jnp.asarray(sc * rs.randn(N, D, 3 * D), jnp.float32),
+        jnp.zeros((N, 3 * D), jnp.float32),
+        jnp.asarray(sc * rs.randn(N, D, D), jnp.float32),
+        jnp.zeros((N, D), jnp.float32),
+        jnp.ones((N, D), jnp.float32), jnp.zeros((N, D), jnp.float32),
+        jnp.asarray(sc * rs.randn(N, D, DFF), jnp.float32),
+        jnp.zeros((N, DFF), jnp.float32),
+        jnp.asarray(sc * rs.randn(N, DFF, D), jnp.float32),
+        jnp.zeros((N, D), jnp.float32),
+    )
+    fs, fb = jnp.ones((D,), jnp.float32), jnp.zeros((D,), jnp.float32)
+    readout = jnp.asarray(rs.randn(B, L, D).astype(np.float32))
+
+    def f(xx, sd):
+        out = encoder_forward(xx, key_mask, sd, ws, fs, fb,
+                              h=H, p_drop=0.25)
+        return jnp.sum(out * readout)
+
+    jf = jax.jit(f)
+    jg = jax.jit(jax.grad(f))
+    # the real PRNG must respond to seeds at all (interpret mode does not)
+    v1, v2 = float(jf(x, seeds)), float(jf(x, seeds + 12345))
+    check("encoder kernel dropout varies across seeds", v1 != v2,
+          f"|df|={abs(v1 - v2):.3g}")
+
+    g = jg(x, seeds)
+    v = jnp.asarray(rs.randn(B, L, D).astype(np.float32))
+    v = v / jnp.linalg.norm(v)
+    eps = 1e-2
+    fd = (float(jf(x + eps * v, seeds)) - float(jf(x - eps * v, seeds))) \
+        / (2 * eps)
+    an = float(jnp.vdot(g, v))
+    rel = abs(fd - an) / (abs(an) + 1e-12)
+    check("encoder kernel bwd replays fwd dropout (FD)", rel < 5e-2,
+          f"fd={fd:.6f} analytic={an:.6f} rel={rel:.2e}")
+
+
 def main() -> int:
     print("device:", jax.devices()[0], "backend:", jax.default_backend())
     if jax.default_backend() != "tpu":
@@ -396,6 +460,7 @@ def main() -> int:
     check_tiled_dropout()
     check_tiled_dropout_grads()
     check_mega_sublayers()
+    check_encoder_seed_grid()
     if FAILURES:
         print("FAILURES:", FAILURES)
         return 1
