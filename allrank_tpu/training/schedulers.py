@@ -88,6 +88,81 @@ class CosineAnnealingLR(LRScheduler):
         ) / 2
 
 
+class LinearLR(LRScheduler):
+    """torch.optim.lr_scheduler.LinearLR: linearly interpolate the factor
+    from ``start_factor`` to ``end_factor`` over ``total_iters`` epochs."""
+
+    def __init__(self, base_lr: float, start_factor: float = 1.0 / 3,
+                 end_factor: float = 1.0, total_iters: int = 5):
+        self.start_factor = float(start_factor)
+        self.end_factor = float(end_factor)
+        self.total_iters = int(total_iters)
+        super().__init__(base_lr)
+
+    def _lr_at(self, epoch: int) -> float:
+        frac = min(epoch, self.total_iters) / self.total_iters
+        return self.base_lr * (
+            self.start_factor + (self.end_factor - self.start_factor) * frac
+        )
+
+
+class CosineAnnealingWarmRestarts(LRScheduler):
+    """torch.optim.lr_scheduler.CosineAnnealingWarmRestarts (closed form):
+    cosine anneal over a window of ``T_0`` epochs, restarting with the
+    window growing by ``T_mult`` each restart."""
+
+    def __init__(self, base_lr: float, T_0: int, T_mult: int = 1,
+                 eta_min: float = 0.0):
+        if T_0 <= 0:
+            raise ValueError("T_0 must be positive")
+        if T_mult < 1:
+            raise ValueError("T_mult must be >= 1")
+        self.T_0 = int(T_0)
+        self.T_mult = int(T_mult)
+        self.eta_min = float(eta_min)
+        super().__init__(base_lr)
+
+    def _lr_at(self, epoch: int) -> float:
+        if self.T_mult == 1:
+            t_cur = epoch % self.T_0
+            t_i = self.T_0
+        else:
+            n = int(math.log(epoch / self.T_0 * (self.T_mult - 1) + 1,
+                             self.T_mult))
+            t_cur = epoch - self.T_0 * (self.T_mult**n - 1) // (self.T_mult - 1)
+            t_i = self.T_0 * self.T_mult**n
+        return self.eta_min + (self.base_lr - self.eta_min) * (
+            1 + math.cos(math.pi * t_cur / t_i)
+        ) / 2
+
+
+class LambdaLR(LRScheduler):
+    """torch.optim.lr_scheduler.LambdaLR with a JSON-friendly twist: since
+    configs can't carry Python callables, ``lr_lambda`` may be a string
+    expression in ``epoch`` (evaluated with ``math`` available and no other
+    globals), e.g. ``"0.95 ** epoch"``. A real callable is accepted too for
+    programmatic use."""
+
+    def __init__(self, base_lr: float, lr_lambda):
+        if isinstance(lr_lambda, str):
+            expr = compile(lr_lambda, "<lr_lambda>", "eval")
+
+            def fn(epoch: int) -> float:
+                return float(eval(expr, {"__builtins__": {}, "math": math,
+                                         "min": min, "max": max},
+                                  {"epoch": epoch}))
+
+            self.lr_lambda = fn
+        elif callable(lr_lambda):
+            self.lr_lambda = lr_lambda
+        else:
+            raise ValueError("lr_lambda must be a string expression or callable")
+        super().__init__(base_lr)
+
+    def _lr_at(self, epoch: int) -> float:
+        return self.base_lr * float(self.lr_lambda(epoch))
+
+
 class ReduceLROnPlateau(LRScheduler):
     """Multiply LR by ``factor`` after ``patience`` epochs without metric
     improvement. ``mode="max"`` for NDCG-style metrics."""
@@ -155,6 +230,9 @@ SCHEDULERS = {
     "ExponentialLR": ExponentialLR,
     "ConstantLR": ConstantLR,
     "CosineAnnealingLR": CosineAnnealingLR,
+    "CosineAnnealingWarmRestarts": CosineAnnealingWarmRestarts,
+    "LinearLR": LinearLR,
+    "LambdaLR": LambdaLR,
     "ReduceLROnPlateau": ReduceLROnPlateau,
 }
 

@@ -69,6 +69,7 @@ def make_train_step(
     scan_steps: int = 1,
     accumulation_steps: int = 1,
     accum_weighting=None,
+    table_gather=None,
 ):
     """Build the jitted train step:
     (params, opt_state, rng, batch) -> (params, opt_state, rng, loss, n_real).
@@ -100,12 +101,17 @@ def make_train_step(
     else:
         accum_weight_fn, accum_normalize = accum_weighting
 
+    gather = table_gather if table_gather is not None else (
+        lambda t, i: jnp.take(t, i, axis=0))
+
     def one_batch(params, opt_state, rng, batch: SlateBatch, table=None):
         x, y, indices, slate_mask = batch
         if table is not None:
             # device feature store: x is [B, L] int32 rows into the
-            # HBM-resident flat matrix (padded slots -> zero sentinel row)
-            x = jnp.take(table, x, axis=0)
+            # HBM-resident flat matrix (padded slots -> zero sentinel row);
+            # replicated tables take locally, sharded ones via the
+            # collective gather (feature_store.make_table_gather)
+            x = gather(table, x)
         mask = y == PADDED_Y_VALUE
         next_rng, drop_rng, loss_rng = jax.random.split(rng, 3)
 
@@ -246,6 +252,7 @@ def make_eval_fns(
     needs_rng: bool,
     metrics: Dict[str, Sequence[int]],
     compute_dtype: str = "float32",
+    table_gather=None,
 ):
     """Build the jitted eval step:
     (params, rng, batch) -> ({metric_name_at: sum}, loss_sum, n_real).
@@ -253,11 +260,13 @@ def make_eval_fns(
     dtype = _compute_dtype(compute_dtype)
     loss_kwargs = dict(loss_kwargs or {})
     metric_fns = {name: (get_metric(name), tuple(ats)) for name, ats in metrics.items()}
+    gather = table_gather if table_gather is not None else (
+        lambda t, i: jnp.take(t, i, axis=0))
 
     def step(params, rng, batch: SlateBatch, table=None):
         x, y, indices, slate_mask = batch
         if table is not None:
-            x = jnp.take(table, x, axis=0)  # device feature store gather
+            x = gather(table, x)  # device feature store gather
         mask = y == PADDED_Y_VALUE
         preds = forward(
             params, mdef, x, mask, indices, train=False, compute_dtype=dtype
@@ -351,6 +360,7 @@ def fit(
     accum_weighting=None,
     train_feature_table=None,
     val_feature_table=None,
+    table_gather=None,
 ) -> Dict[str, Any]:
     """The epoch loop (reference: allrank/training/train_utils.py:78-147).
 
@@ -377,9 +387,11 @@ def fit(
         gradient_clipping_norm, compute_dtype, scan_steps=scan_steps,
         accumulation_steps=accumulation_steps,
         accum_weighting=accum_weighting,
+        table_gather=table_gather,
     )
     eval_step = make_eval_fns(
-        mdef, loss_fn, loss_kwargs, needs_rng, metrics, compute_dtype
+        mdef, loss_fn, loss_kwargs, needs_rng, metrics, compute_dtype,
+        table_gather=table_gather,
     )
 
     opt_state = optimizer.init(params)
@@ -441,10 +453,17 @@ def fit(
             rng = jnp.asarray(loop_state["rng"], dtype=jnp.uint32)
         logger.info("resumed from %s at epoch %d", partial_dir, start_epoch)
 
+    def _json_safe(d: dict) -> dict:
+        # scheduler state travels through loop_state.json; drop callables
+        # (e.g. LambdaLR.lr_lambda — rebuilt from config on restart) and
+        # keep only the resumable numeric/str fields
+        return {k: v for k, v in d.items()
+                if isinstance(v, (int, float, str, bool, list, type(None)))}
+
     def _loop_state(epoch: int) -> dict:
         return {
             "epoch": epoch,
-            "scheduler": dict(scheduler.__dict__) if scheduler else {},
+            "scheduler": _json_safe(scheduler.__dict__) if scheduler else {},
             "early_stop": dict(early_stop.__dict__),
             "step_rng": np.asarray(step_rng).tolist(),
             "rng": np.asarray(rng).tolist(),
