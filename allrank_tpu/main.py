@@ -73,7 +73,11 @@ def _setup_compilation_cache() -> None:
     if cache_dir and cache_dir != "0":
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # min compile time gating what gets persisted; env-overridable so
+        # tests (and latency-sensitive deploys) can cache everything
+        min_secs = float(os.environ.get("ALLRANK_TPU_CACHE_MIN_COMPILE_SECS", "1.0"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", min_secs)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
 def run(args: Namespace = None) -> dict:
@@ -129,13 +133,17 @@ def run(args: Namespace = None) -> dict:
             getattr(config.data, "device_cache_dtype", "auto"),
             config.training.compute_dtype,
         )
-        train_store = DeviceFeatureStore(train_ds, mesh, dtype=store_dtype)
-        val_store = DeviceFeatureStore(val_ds, mesh, dtype=store_dtype)
+        store_sharding = getattr(config.data, "device_cache_sharding",
+                                 "replicated")
+        train_store = DeviceFeatureStore(train_ds, mesh, dtype=store_dtype,
+                                         sharding=store_sharding)
+        val_store = DeviceFeatureStore(val_ds, mesh, dtype=store_dtype,
+                                       sharding=store_sharding)
         logger.info(
             "device feature store: train %s, val %s rows resident in HBM"
-            " (dtype %s)",
+            " (dtype %s, %s)",
             train_store.sentinel, val_store.sentinel,
-            store_dtype or "float32",
+            store_dtype or "float32", train_store.sharding,
         )
     train_batcher = SlateBatcher(
         train_ds, train_len, global_batch, shuffle=True,
@@ -206,6 +214,7 @@ def run(args: Namespace = None) -> dict:
             scan_steps=config.training.scan_steps,
             train_feature_table=None if train_store is None else train_store.table,
             val_feature_table=None if val_store is None else val_store.table,
+            table_gather=None if train_store is None else train_store.gather,
             accumulation_steps=config.training.accumulation_steps,
             accum_weighting=accumulation_weighting(
                 config.loss.name, config.loss.args
