@@ -78,6 +78,11 @@ class DataConfig:
     # table: "auto" follows training.compute_dtype (bf16 table for bf16
     # runs — bit-identical downstream, half the upload and resident HBM);
     # or explicit "float32"/"bfloat16"
+    device_cache_sharding: str = "replicated"  # "replicated": full table on
+    # every device (local gather, right when it fits per-chip HBM);
+    # "sharded": row-shard the table over the mesh's data axis — per-chip
+    # footprint / data_size, the step gather becomes all-gather(indices) +
+    # psum_scatter(rows) over ICI; bit-identical results either way
 
 
 @dataclass

@@ -18,6 +18,20 @@ dataset_loading.py:141-152) — only the row payload stops travelling.
 Enable with ``data.device_cache: true``; ``SlateBatcher(emit_row_indices=
 True)`` produces the index batches, padded positions pointing at the
 store's trailing all-zero sentinel row.
+
+``data.device_cache_sharding: sharded`` removes the replicated table's
+per-chip HBM ceiling: the [n_docs, F] matrix is row-sharded over the mesh's
+``data`` axis (each chip holds 1/data_size of the corpus) and the step's
+gather becomes a three-collective shard_map — all-gather of the [B, L]
+int32 indices (KBs), a local owner-masked gather, and a psum_scatter of the
+feature rows routing each shard its own batch. Exactly one shard owns every
+row, so the scatter-sum adds a true row to exact zeros — results are
+bit-identical to the replicated store (pinned by
+tests/data/test_feature_store_sharded.py). Per-step ICI traffic is the
+global [B, L, F] batch (the same bytes the reference ships host->device
+EVERY step, allrank/data/dataset_loading.py:230-247, but riding ICI at
+hundreds of GB/s); supported corpus size scales with data_size x per-chip
+HBM instead of min(per-chip HBM).
 """
 
 from __future__ import annotations
@@ -29,16 +43,25 @@ class DeviceFeatureStore:
     """Uploads a dataset's flat feature matrix (plus one all-zero sentinel
     row for padded positions) to device(s) once.
 
-    ``table`` is a jax.Array [n_docs + 1, F]; replicated over ``mesh`` when
-    given (every data shard gathers its own batch rows from a full copy —
-    the table is small, and replication keeps the gather local, no
-    collectives). ``sentinel`` is the row index batchers must use for
-    padded slots (== dataset doc count).
+    ``table`` is a jax.Array [n_docs + 1, F] (row-padded to a multiple of
+    the data-axis size when sharded). ``sharding="replicated"`` (default)
+    places a full copy on every device — the gather stays local, no
+    collectives; right whenever the table fits per-chip HBM.
+    ``sharding="sharded"`` row-shards it over the mesh's ``data`` axis —
+    the per-chip footprint drops by data_size at the cost of one
+    all-gather(indices) + psum_scatter(rows) per step (see module
+    docstring). ``sentinel`` is the row index batchers must use for padded
+    slots (== dataset doc count).
     """
 
-    def __init__(self, dataset, mesh=None, dtype=None):
+    def __init__(self, dataset, mesh=None, dtype=None, sharding="replicated"):
         import jax
 
+        if sharding not in ("replicated", "sharded"):
+            raise ValueError(
+                f"device_cache_sharding must be 'replicated' or 'sharded', "
+                f"got {sharding!r}"
+            )
         flat_X, _flat_y, _offsets, _index_map = dataset.flat_slate_buffers()
         table = np.concatenate(
             [flat_X, np.zeros((1, flat_X.shape[1]), flat_X.dtype)], axis=0
@@ -56,13 +79,76 @@ class DeviceFeatureStore:
                 else np.dtype(dtype)
             )
             table = table.astype(np_dtype)
+        data_size = int(mesh.shape.get("data", 1)) if mesh is not None else 1
+        self.sharding = "sharded" if (sharding == "sharded" and data_size > 1) \
+            else "replicated"
+        self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            self.table = jax.device_put(table, NamedSharding(mesh, P()))
+            if self.sharding == "sharded":
+                # equal per-shard row counts: zero-pad to a multiple of the
+                # data-axis size (pad rows sit after the sentinel and are
+                # never indexed)
+                pad = (-table.shape[0]) % data_size
+                if pad:
+                    table = np.concatenate(
+                        [table, np.zeros((pad, table.shape[1]), table.dtype)],
+                        axis=0,
+                    )
+                self.table = jax.device_put(table, NamedSharding(mesh, P("data")))
+            else:
+                self.table = jax.device_put(table, NamedSharding(mesh, P()))
         else:
             self.table = jax.device_put(table)
         self.sentinel = int(flat_X.shape[0])
+        self.gather = make_table_gather(mesh, self.sharding)
+
+
+def make_table_gather(mesh, sharding: str):
+    """The static (table, idx[B, L] int32) -> features[B, L, F] gather used
+    inside the jitted train/eval steps, matching how the store was placed.
+
+    Replicated: one local ``jnp.take``. Sharded: a shard_map over the
+    ``data`` axis — all-gather every shard's indices (int32, KBs), gather
+    locally with an ownership mask (rows outside this shard contribute
+    exact zeros), and psum_scatter the stacked contributions so shard j
+    receives the summed rows for ITS batch. One shard owns each row, so
+    each output element is ``row + 0 + ... + 0`` — bitwise equal to the
+    replicated gather.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if sharding != "sharded" or mesh is None:
+        return lambda table, idx: jnp.take(table, idx, axis=0)
+
+    from jax.sharding import PartitionSpec as P
+
+    def _local(tab, ix):
+        n = jax.lax.axis_size("data")
+        me = jax.lax.axis_index("data")
+        rows_local = tab.shape[0]
+        all_ix = jax.lax.all_gather(ix, "data")  # [n, B_local, L] int32
+        pos = all_ix - me * rows_local
+        owned = (pos >= 0) & (pos < rows_local)
+        safe = jnp.clip(pos, 0, rows_local - 1)
+        contrib = jnp.take(tab, safe.reshape(-1), axis=0)
+        contrib = contrib.reshape(*safe.shape, tab.shape[-1])
+        contrib = jnp.where(owned[..., None], contrib,
+                            jnp.zeros((), contrib.dtype))
+        flat = contrib.reshape(n * ix.shape[0], *contrib.shape[2:])
+        return jax.lax.psum_scatter(flat, "data", scatter_dimension=0,
+                                    tiled=True)
+
+    def gather(table, idx):
+        return jax.shard_map(
+            _local, mesh=mesh,
+            in_specs=(P("data"), P("data")), out_specs=P("data"),
+            check_vma=False,
+        )(table, idx)
+
+    return gather
 
 
 def resolve_store_dtype(device_cache_dtype: str, compute_dtype: str):
