@@ -14,6 +14,12 @@ training, one ``evaluation_result.json`` with ``<role>/<metric>`` keys.
 If the config's ``expected_metrics`` names a listed role, the hard
 assert-gate runs against the computed values — the training regression gate
 (reference allrank/utils/experiments.py:36-43), applicable offline.
+
+Multi-host: runs the same pod path as training — each process assembles
+only its own global-batch rows (process_local_rows), the jitted eval step
+reduces over the global data axis, every process observes identical
+metrics, and ONLY the coordinator writes evaluation_result.json (pinned by
+tests/test_multiprocess_cli.py).
 """
 
 from __future__ import annotations
@@ -65,8 +71,11 @@ def run(args: Namespace = None) -> dict:
     args = args or parse_args()
     np.random.seed(42)
     from allrank_tpu.main import _setup_compilation_cache
+    from allrank_tpu.parallel import distributed_init
 
     _setup_compilation_cache()
+    distributed_init()
+    is_main_process = jax.process_index() == 0
 
     paths = PathsContainer.from_args(args.job_dir, args.run_id,
                                      args.config_file_name)
@@ -75,8 +84,9 @@ def run(args: Namespace = None) -> dict:
 
     config = Config.from_json(paths.config_path)
     logger.info("Config: %s", pformat(config))
-    shutil.copy2(paths.config_path,
-                 os.path.join(paths.output_dir, "used_config.json"))
+    if is_main_process:
+        shutil.copy2(paths.config_path,
+                     os.path.join(paths.output_dir, "used_config.json"))
 
     datasets = {
         role: load_dataset_role(role, config.data.path,
@@ -93,14 +103,36 @@ def run(args: Namespace = None) -> dict:
                          args.input_model_path)
     logger.info("loaded model weights from %s", args.input_model_path)
 
+    # the training pod path: params laid out over the mesh, the global batch
+    # sharded over 'data', each process assembling only its own rows
+    from allrank_tpu.data.batching import DevicePrefetcher
+    from allrank_tpu.parallel import (batch_shardings, make_mesh,
+                                      param_shardings, process_local_rows)
+
+    mesh = make_mesh(config.parallel)
+    logger.info("Device mesh: %s over %d devices", dict(mesh.shape), mesh.size)
+    params = jax.device_put(params, param_shardings(params, mesh))
+    global_batch = config.data.batch_size * mesh.shape["data"]
+    local_rows = process_local_rows(global_batch, mesh)
+    shardings = batch_shardings(mesh)
+
     loss_fn, needs_rng = get_loss(config.loss.name)
+    device_cache = bool(getattr(config.data, "device_cache", False))
+    table_gather = None
+    if device_cache:
+        from allrank_tpu.data.feature_store import make_table_gather
+
+        store_sharding = getattr(config.data, "device_cache_sharding",
+                                 "replicated")
+        if store_sharding == "sharded" and mesh.shape["data"] == 1:
+            store_sharding = "replicated"
+        table_gather = make_table_gather(mesh, store_sharding)
     eval_step = make_eval_fns(
         mdef, loss_fn, config.loss.args, needs_rng, config.metrics,
-        config.training.compute_dtype,
+        config.training.compute_dtype, table_gather=table_gather,
     )
     rng = jax.random.PRNGKey(42)
 
-    device_cache = bool(getattr(config.data, "device_cache", False))
     results = {}
     for role, (ds, slate_len) in datasets.items():
         table = None
@@ -111,23 +143,30 @@ def run(args: Namespace = None) -> dict:
             )
 
             table = DeviceFeatureStore(
-                ds, dtype=resolve_store_dtype(
+                ds, mesh, dtype=resolve_store_dtype(
                     getattr(config.data, "device_cache_dtype", "auto"),
                     config.training.compute_dtype,
                 ),
+                sharding=getattr(config.data, "device_cache_sharding",
+                                 "replicated"),
             ).table
         if config.data.eval_buckets > 0:
             batcher = BucketedSlateBatcher(
-                ds, config.data.batch_size,
+                ds, global_batch,
                 n_buckets=config.data.eval_buckets,
+                local_rows=local_rows,
                 emit_row_indices=device_cache,
             )
         else:
-            batcher = SlateBatcher(ds, slate_len, config.data.batch_size,
-                                   shuffle=False,
+            batcher = SlateBatcher(ds, slate_len, global_batch,
+                                   shuffle=False, local_rows=local_rows,
                                    emit_row_indices=device_cache)
-        metrics, loss = compute_metrics(eval_step, params, iter(batcher),
-                                        rng, table=table)
+        with mesh:
+            metrics, loss = compute_metrics(
+                eval_step, params,
+                DevicePrefetcher(batcher, shardings=shardings),
+                rng, table=table,
+            )
         metrics["loss"] = loss
         results[role] = metrics
         logger.info("%s: %s", role,
@@ -136,11 +175,12 @@ def run(args: Namespace = None) -> dict:
     flat = {f"{role}/{k}": v for role, m in results.items()
             for k, v in m.items()}
     out_path = os.path.join(paths.output_dir, "evaluation_result.json")
-    with open(out_path, "w") as f:
-        json.dump(flat, f, indent=1)
-    logger.info("wrote %s", out_path)
+    if is_main_process:
+        with open(out_path, "w") as f:
+            json.dump(flat, f, indent=1)
+        logger.info("wrote %s", out_path)
 
-    if is_gs_path(args.job_dir):
+    if is_main_process and is_gs_path(args.job_dir):
         copy_local_to_gs(paths.local_base_output_path, args.job_dir)
 
     # the training gate keys validation expectations as "val" (reference

@@ -63,8 +63,16 @@ def run(args: Namespace = None) -> dict:
     args = args or parse_args()
     np.random.seed(42)
     from allrank_tpu.main import _setup_compilation_cache
+    from allrank_tpu.parallel import distributed_init
 
     _setup_compilation_cache()
+    # multi-host: ranking+clicking is cheap relative to training, so every
+    # process computes the full (deterministic, seeded) result redundantly —
+    # no cross-host reduction to get wrong — and ONLY the coordinator writes
+    # the libsvm/CSV artifacts (exactly-once, byte-equal to single-process;
+    # pinned by tests/test_multiprocess_cli.py)
+    distributed_init()
+    is_main_process = jax.process_index() == 0
 
     paths = PathsContainer.from_args(args.job_dir, args.run_id, args.config_file_name)
     os.makedirs(paths.base_output_path, exist_ok=True)
@@ -140,25 +148,29 @@ def run(args: Namespace = None) -> dict:
             for role, slates in ranked_slates.items()
         }
 
-    for role, slates in clicked_slates.items():
-        write_to_libsvm_without_masked(
-            os.path.join(paths.output_dir, f"{role}.txt"), *slates
-        )
+    if is_main_process:
+        for role, slates in clicked_slates.items():
+            write_to_libsvm_without_masked(
+                os.path.join(paths.output_dir, f"{role}.txt"), *slates
+            )
 
     summaries = {}
     for role, slates in clicked_slates.items():
         metrics_df = pd.DataFrame(metrics_on_clicked_slates(slates))
         logger.info("%s metrics summary:", role)
         logger.info(metrics_df.mean())
-        metrics_df.to_csv(
-            os.path.join(paths.output_dir, f"{role}_metrics.csv"), index=False
-        )
-        pd.DataFrame(metrics_df.mean()).T.to_csv(
-            os.path.join(paths.output_dir, f"{role}_metrics_mean.csv"), index=False
-        )
+        if is_main_process:
+            metrics_df.to_csv(
+                os.path.join(paths.output_dir, f"{role}_metrics.csv"),
+                index=False,
+            )
+            pd.DataFrame(metrics_df.mean()).T.to_csv(
+                os.path.join(paths.output_dir, f"{role}_metrics_mean.csv"),
+                index=False,
+            )
         summaries[role] = metrics_df.mean().to_dict()
 
-    if is_gs_path(args.job_dir):
+    if is_main_process and is_gs_path(args.job_dir):
         copy_local_to_gs(paths.local_base_output_path, args.job_dir)
     return summaries
 
