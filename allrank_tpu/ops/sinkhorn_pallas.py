@@ -56,6 +56,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from allrank_tpu.constants import DEFAULT_EPS
 
+# keep in sync with ops/soft_sort.SCALING_CAP (defined locally to keep this
+# Mosaic module's import graph flat)
+_SCALING_CAP = 1e15
+
 F32 = jnp.float32
 
 
@@ -107,9 +111,26 @@ def sinkhorn_loop(m0_ref, a_it, b_it, m0t_ref, *, max_iter: int):
     def body(t, carry):
         a, b = carry
         col = b * _matvec_T(m0t_ref[...], a)
-        b2 = b / jnp.maximum(col, DEFAULT_EPS)
+        # exactly-zero columns/rows (softmax underflow under huge score
+        # spreads) freeze their scaling instead of dividing by eps — the
+        # unguarded diagonal form compounds 1/eps per iteration into inf and
+        # the final a*m0*b into inf*0=NaN (found by tools/fuzz_losses.py).
+        # The analytic backward needs no gate: every cotangent through a
+        # frozen scaling multiplies the zero m0 column/row, so it vanishes
+        # identically either way.
+        # the SCALING_CAP saturation (see ops/soft_sort.py) bounds the
+        # factored representation when the matrix admits no doubly
+        # stochastic scaling; inactive bits in every healthy case, and the
+        # stored trajectories stay finite so the analytic backward cannot
+        # emit NaN (a capped slate's gradient is junk-but-finite, confined
+        # to that slate by the per-slate factorization)
+        b2 = jnp.where(col == 0.0, b,
+                       jnp.minimum(b / jnp.maximum(col, DEFAULT_EPS),
+                                   _SCALING_CAP))
         row = a * _matvec(m0_ref[...], b2)
-        a2 = a / jnp.maximum(row, DEFAULT_EPS)
+        a2 = jnp.where(row == 0.0, a,
+                       jnp.minimum(a / jnp.maximum(row, DEFAULT_EPS),
+                                   _SCALING_CAP))
         a_it[t + 1] = a2
         b_it[t + 1] = b2
         return (a2, b2)

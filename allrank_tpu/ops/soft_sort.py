@@ -27,6 +27,17 @@ import jax.numpy as jnp
 
 from allrank_tpu.constants import DEFAULT_EPS
 
+# Sinkhorn scaling-factor saturation. When the input matrix's support
+# admits no doubly stochastic scaling (degenerate one-hot rows from huge
+# score spreads — found by tools/fuzz_losses.py), the MATRIX iterates stay
+# bounded but the factored (a, b) representation diverges geometrically
+# (measured 6x/iteration) and overflows fp32 near max_iter=50, turning
+# a*m0*b into inf/NaN. Healthy scalings stay orders of magnitude below this
+# cap (it is bit-inactive there); a capped degenerate slate yields a finite
+# non-converged matrix — the same class of result the reference's mat-form
+# produces — and cannot poison other slates (per-slate factorization).
+SCALING_CAP = 1e15
+
 
 def _batch_shard_axes(phys, batch: int):
     """The largest tuple of mesh axes whose size product divides ``batch``
@@ -196,9 +207,18 @@ def sinkhorn_scaling(
         resid = jnp.maximum(jnp.max(jnp.abs(col - 1.0)), row_resid)
         done = jnp.logical_or(done, resid < tol)
 
-        b2 = jnp.where(done, b, b / jnp.maximum(col, DEFAULT_EPS))
+        # an EXACTLY-zero column (softmax underflow under huge score
+        # spreads) can never be normalized: freeze its scaling instead of
+        # dividing by eps every iteration (the diagonal form would blow b
+        # up to inf and the final a*m0*b to inf*0=NaN; the mat form this
+        # mirrors keeps 0/eps = 0 — found by tools/fuzz_losses.py)
+        b2 = jnp.where(done | (col == 0.0), b,
+                       jnp.minimum(b / jnp.maximum(col, DEFAULT_EPS),
+                                   SCALING_CAP))
         row = a * jnp.einsum("nij,nj->ni", m0, b2)
-        a2 = jnp.where(done, a, a / jnp.maximum(row, DEFAULT_EPS))
+        a2 = jnp.where(done | (row == 0.0), a,
+                       jnp.minimum(a / jnp.maximum(row, DEFAULT_EPS),
+                                   SCALING_CAP))
         new_row_resid = jnp.where(
             done,
             row_resid,
@@ -393,9 +413,15 @@ def soft_sort_contract_sp(
             col = b * jax.lax.psum(jnp.einsum("nij,ni->nj", m0, a), axis)
             resid = jnp.maximum(jnp.max(jnp.abs(col - 1.0)), row_resid)
             done = jnp.logical_or(done, resid < tol)
-            b2 = jnp.where(done, b, b / jnp.maximum(col, DEFAULT_EPS))
+            # exactly-zero columns/rows freeze + scaling saturation
+            # (see sinkhorn_scaling)
+            b2 = jnp.where(done | (col == 0.0), b,
+                           jnp.minimum(b / jnp.maximum(col, DEFAULT_EPS),
+                                       SCALING_CAP))
             row = a * jnp.einsum("nij,nj->ni", m0, b2)  # local rows
-            a2 = jnp.where(done, a, a / jnp.maximum(row, DEFAULT_EPS))
+            a2 = jnp.where(done | (row == 0.0), a,
+                           jnp.minimum(a / jnp.maximum(row, DEFAULT_EPS),
+                                       SCALING_CAP))
             # cross-shard max via all_gather (pmax has no differentiation
             # rule; the residual only drives the freeze flag)
             local_max = jnp.max(jnp.abs(row / jnp.maximum(row, DEFAULT_EPS) - 1.0))
@@ -468,9 +494,15 @@ def sinkhorn_scaling_sp(
             a, b = carry
             col_partial = jnp.einsum("nij,ni->nj", m0, a)
             col = b * jax.lax.psum(col_partial, axis)
-            b2 = b / jnp.maximum(col, DEFAULT_EPS)
+            # exactly-zero columns/rows freeze + scaling saturation
+            # (see sinkhorn_scaling)
+            b2 = jnp.where(col == 0.0, b,
+                           jnp.minimum(b / jnp.maximum(col, DEFAULT_EPS),
+                                       SCALING_CAP))
             row = a * jnp.einsum("nij,nj->ni", m0, b2)  # local
-            a2 = a / jnp.maximum(row, DEFAULT_EPS)
+            a2 = jnp.where(row == 0.0, a,
+                           jnp.minimum(a / jnp.maximum(row, DEFAULT_EPS),
+                                       SCALING_CAP))
             return (a2, b2), None
 
         (a, b), _ = jax.lax.scan(one_iteration, (a, b), None, length=max_iter)

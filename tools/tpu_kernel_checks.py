@@ -385,16 +385,30 @@ def check_mega_sublayers() -> None:
 
 
 def check_encoder_seed_grid() -> None:
-    """Whole-encoder megakernel (ops/encoder_block.py): forward/backward
-    dropout-replay agreement WITH THE REAL PRNG at a shape where the
-    chained-attention and encoder batch-block formulas diverge (fwd once
-    used the former, bwd the latter — different slate->program mapping =
-    different per-program seed mix = corrupt grads). Interpret mode cannot
-    see this (seed-independent PRNG stub), so the numeric proof is here:
-    a directional finite difference of the dropout-active forward must
-    match <grad, v> (the realized masks are constant in x)."""
+    """Whole-encoder megakernel (ops/encoder_block.py): numeric checks WITH
+    THE REAL PRNG at a shape where the chained-attention and encoder
+    batch-block formulas diverge (fwd once used the former, bwd the latter —
+    different slate->program mapping = different per-program seed mix =
+    corrupt grads). Interpret mode cannot see this (seed-independent PRNG
+    stub).
+
+    NOTE a directional finite difference is NOT a sound probe here (round-4
+    finding): TPU fp32 matmuls quantize their inputs to bf16 on the MXU, so
+    the forward is a step function at bf16-ulp scale in x — measured: the
+    pure-XLA composition on this chip jumps by the IDENTICAL 1.3e-2 under a
+    1e-4 perturbation while the same math on CPU is smooth (gain ~0.1).
+    FD therefore measures quantization steps amplified by 1/2eps, not mask
+    replay. The battery below is hardware-sound: bitwise determinism of
+    forward AND grad (PRNG state leakage), p_drop=0 grad parity vs the XLA
+    composition on-chip (backward math), and dropout mean preservation over
+    seeds (mask/scale). The fwd==bwd seed-mix contract itself is pinned
+    structurally (tests/ops/test_mega_blocks.py same-grid spy) plus by the
+    sublayer-level replayed-mask checks above."""
     from allrank_tpu.ops import attention_block, encoder_block
+    from allrank_tpu.ops.attention_block import (_layer_norm,
+                                                 attn_sublayer_fwd_vmem)
     from allrank_tpu.ops.encoder_block import encoder_forward
+    from allrank_tpu.ops.ffn_block import ffn_sublayer_fwd_vmem
 
     B, L, D, DFF, N, H = 8, 384, 64, 512, 2, 2
     a_bb = attention_block._batch_block(B, L)
@@ -435,16 +449,50 @@ def check_encoder_seed_grid() -> None:
     check("encoder kernel dropout varies across seeds", v1 != v2,
           f"|df|={abs(v1 - v2):.3g}")
 
+    # bitwise determinism of forward and grad: same (x, seeds) -> same masks,
+    # same values — catches PRNG state leaking across calls/iterations
+    det_f = all(float(jf(x, seeds)) == v1 for _ in range(3))
     g = jg(x, seeds)
-    v = jnp.asarray(rs.randn(B, L, D).astype(np.float32))
-    v = v / jnp.linalg.norm(v)
-    eps = 1e-2
-    fd = (float(jf(x + eps * v, seeds)) - float(jf(x - eps * v, seeds))) \
-        / (2 * eps)
-    an = float(jnp.vdot(g, v))
-    rel = abs(fd - an) / (abs(an) + 1e-12)
-    check("encoder kernel bwd replays fwd dropout (FD)", rel < 5e-2,
-          f"fd={fd:.6f} analytic={an:.6f} rel={rel:.2e}")
+    det_g = all(
+        float(jnp.max(jnp.abs(jg(x, seeds) - g))) == 0.0 for _ in range(2)
+    )
+    check("encoder kernel fwd+grad deterministic given seeds", det_f and det_g)
+
+    # p_drop=0 backward parity vs the pure-XLA composition ON THIS CHIP
+    # (same bf16-MXU arithmetic class, independent op schedule)
+    def xla_fwd(xx):
+        padded = key_mask.astype(jnp.float32)
+        for blk in range(N):
+            xx = attn_sublayer_fwd_vmem(
+                xx, padded, ws[0][blk], ws[1][blk], ws[2][blk], ws[3][blk],
+                ws[4][blk], ws[5][blk], 0, 0,
+                h=H, dk=D // H, p_attn=0.0, p_resid=0.0)
+            xx = ffn_sublayer_fwd_vmem(
+                xx, ws[6][blk], ws[7][blk], ws[8][blk], ws[9][blk],
+                ws[10][blk], ws[11][blk], 0, 0, p_hidden=0.0, p_resid=0.0)
+        out, _, _, _, _ = _layer_norm(xx.astype(jnp.float32), fs, fb, D)
+        return jnp.sum(out.astype(xx.dtype) * readout)
+
+    def f0(xx, sd):
+        out = encoder_forward(xx, key_mask, sd, ws, fs, fb, h=H, p_drop=0.0)
+        return jnp.sum(out * readout)
+
+    gk = np.asarray(jax.jit(jax.grad(f0))(x, seeds), dtype=np.float64)
+    gx = np.asarray(jax.jit(jax.grad(xla_fwd))(x), dtype=np.float64)
+    cos = float((gk * gx).sum() /
+                (np.linalg.norm(gk) * np.linalg.norm(gx) + 1e-30))
+    nrm = float(np.linalg.norm(gk - gx) / (np.linalg.norm(gx) + 1e-30))
+    check("encoder kernel p=0 grad matches XLA on-chip",
+          cos > 0.999 and nrm < 5e-2, f"cos={cos:.6f} relnorm={nrm:.2e}")
+
+    # dropout mean preservation: E_seeds[out(p=0.25)] ~ out(p=0)
+    base = float(jax.jit(f0)(x, seeds))
+    draws = [float(jf(x, seeds + 7919 * i)) for i in range(24)]
+    mean = float(np.mean(draws))
+    sem = float(np.std(draws) / np.sqrt(len(draws)))
+    check("encoder kernel dropout mean preserved (24 seeds)",
+          abs(mean - base) < max(6 * sem, 0.05 * abs(base)),
+          f"mean={mean:.4f} base={base:.4f} sem={sem:.3g}")
 
 
 def main() -> int:
