@@ -39,17 +39,36 @@ class SlateScoringService:
 
     def __init__(self, params, mdef, slate_length: int, n_features: int,
                  batch_size: int = 64, max_wait_ms: float = 5.0,
-                 compute_dtype: str = "bfloat16"):
-        from allrank_tpu.serving import aot_compile, make_scorer
+                 compute_dtype: str = "bfloat16", mesh=None):
+        from allrank_tpu.serving import (aot_compile, make_scorer,
+                                         make_sharded_scorer)
 
         self.slate_length = int(slate_length)
         self.n_features = int(n_features)
         self.batch_size = int(batch_size)
         self.max_wait_s = float(max_wait_ms) / 1e3
-        scorer = make_scorer(params, mdef, compute_dtype)
-        self._compiled, self.executable_info = aot_compile(
-            scorer, self.batch_size, self.slate_length, self.n_features
-        )
+        if mesh is not None:
+            # pod serving: every wave scored over the mesh (batch sharded on
+            # 'data', params TP-sharded by the training layout rules). Warm
+            # the compile here so the first request pays no stall, matching
+            # the AOT single-device path.
+            if self.batch_size % mesh.shape["data"]:
+                raise ValueError(
+                    f"batch_size {self.batch_size} not divisible by the "
+                    f"mesh data axis {mesh.shape['data']}")
+            self._compiled = make_sharded_scorer(params, mdef, mesh,
+                                                 compute_dtype)
+            self._compiled(
+                np.zeros((self.batch_size, self.slate_length,
+                          self.n_features), dtype=np.float32),
+                np.ones(self.batch_size, dtype=np.int32),
+            )
+            self.executable_info = {"sharded_over": dict(mesh.shape)}
+        else:
+            scorer = make_scorer(params, mdef, compute_dtype)
+            self._compiled, self.executable_info = aot_compile(
+                scorer, self.batch_size, self.slate_length, self.n_features
+            )
         self._queue: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._loop, daemon=True)
