@@ -111,6 +111,55 @@ def test_http_round_trip():
         service.close()
 
 
+def test_http_binary_npy_round_trip_matches_json():
+    """The octet-stream fast path (production payload sizes make JSON
+    parsing the end-to-end bottleneck) must score identically to JSON."""
+    import io
+
+    mdef, params = _model()
+    service = SlateScoringService(params, mdef, L, F, batch_size=4,
+                                  max_wait_ms=2, compute_dtype="float32")
+    server = run_server(service, port=0, host="127.0.0.1")
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        slate = np.random.RandomState(3).randn(6, F).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, slate)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/score", data=buf.getvalue(),
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        with urllib.request.urlopen(req, timeout=30) as r:
+            binary_scores = np.load(io.BytesIO(r.read()),
+                                    allow_pickle=False)
+        jreq = urllib.request.Request(
+            f"http://127.0.0.1:{port}/score",
+            data=json.dumps({"slate": slate.tolist()}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(jreq, timeout=30) as r:
+            json_scores = np.asarray(json.loads(r.read())["scores"],
+                                     dtype=np.float32)
+        assert binary_scores.shape == (6,)
+        np.testing.assert_allclose(binary_scores, json_scores, rtol=1e-6)
+
+        # malformed binary -> 400, connection alive
+        bad = urllib.request.Request(
+            f"http://127.0.0.1:{port}/score", data=b"not an npy",
+            headers={"Content-Type": "application/octet-stream"},
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=10)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.shutdown()
+        service.close()
+
+
 def test_close_fails_pending_and_rejects_new_submits():
     import pytest
 

@@ -14,12 +14,16 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import threading
 import time
 import urllib.request
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -33,6 +37,8 @@ def main():
     p.add_argument("--dtype", default="bfloat16")
     p.add_argument("--mesh", action="store_true",
                    help="serve through make_sharded_scorer over the full mesh")
+    p.add_argument("--binary", action="store_true",
+                   help="npy octet-stream bodies instead of JSON")
     args = p.parse_args()
 
     import jax
@@ -63,20 +69,33 @@ def main():
     threading.Thread(target=server.serve_forever, daemon=True).start()
 
     rng = np.random.RandomState(0)
+    if args.binary:
+        import io
+
+        def body_of(slate):
+            out = io.BytesIO()
+            np.save(out, np.asarray(slate, dtype=np.float32))
+            return out.getvalue()
+
+        ctype = "application/octet-stream"
+    else:
+        def body_of(slate):
+            return json.dumps({"slate": slate.tolist()}).encode()
+
+        ctype = "application/json"
     bodies = [
-        json.dumps({"slate": rng.randn(
-            int(rng.randint(10, args.slate_length + 1)), args.features
-        ).tolist()}).encode()
+        body_of(rng.randn(int(rng.randint(10, args.slate_length + 1)),
+                          args.features))
         for _ in range(min(64, args.requests))
     ]
 
     def post(i):
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/score", data=bodies[i % len(bodies)],
-            headers={"Content-Type": "application/json"})
+            headers={"Content-Type": ctype})
         t0 = time.perf_counter()
         with urllib.request.urlopen(req, timeout=120) as r:
-            json.loads(r.read())
+            r.read()
         return (time.perf_counter() - t0) * 1e3
 
     # warmup wave
@@ -96,6 +115,7 @@ def main():
         "max_wait_ms": args.wait_ms,
         "slate_length": args.slate_length,
         "mesh": dict(mesh.shape) if mesh is not None else None,
+        "payload": "npy" if args.binary else "json",
         "throughput_slates_per_s": round(args.requests / wall, 1),
         "latency_ms": {
             "p50": round(float(np.percentile(lat, 50)), 2),
