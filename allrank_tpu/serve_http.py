@@ -47,6 +47,11 @@ class SlateScoringService:
         self.n_features = int(n_features)
         self.batch_size = int(batch_size)
         self.max_wait_s = float(max_wait_ms) / 1e3
+        # "int8" as a compute_dtype serves the w8a8 quantized tower
+        # (quant.py) — the CLI flag works end-to-end without a second knob
+        quantize = "int8" if compute_dtype == "int8" else None
+        if quantize:
+            compute_dtype = "float32"
         if mesh is not None:
             # pod serving: every wave scored over the mesh (batch sharded on
             # 'data', params TP-sharded by the training layout rules). Warm
@@ -57,7 +62,8 @@ class SlateScoringService:
                     f"batch_size {self.batch_size} not divisible by the "
                     f"mesh data axis {mesh.shape['data']}")
             self._compiled = make_sharded_scorer(params, mdef, mesh,
-                                                 compute_dtype)
+                                                 compute_dtype,
+                                                 quantize=quantize)
             self._compiled(
                 np.zeros((self.batch_size, self.slate_length,
                           self.n_features), dtype=np.float32),
@@ -65,7 +71,8 @@ class SlateScoringService:
             )
             self.executable_info = {"sharded_over": dict(mesh.shape)}
         else:
-            scorer = make_scorer(params, mdef, compute_dtype)
+            scorer = make_scorer(params, mdef, compute_dtype,
+                                 quantize=quantize)
             self._compiled, self.executable_info = aot_compile(
                 scorer, self.batch_size, self.slate_length, self.n_features
             )
@@ -249,7 +256,9 @@ def main() -> None:
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--batch-size", type=int, default=64)
     ap.add_argument("--max-wait-ms", type=float, default=5.0)
-    ap.add_argument("--compute-dtype", default="bfloat16")
+    ap.add_argument("--compute-dtype", default="bfloat16",
+                    choices=["float32", "bfloat16", "int8"],
+                    help="int8 serves the w8a8 quantized tower (quant.py)")
     args = ap.parse_args()
 
     config = Config.from_json(args.config_file_name)

@@ -43,9 +43,31 @@ def _mask_from_lengths(lengths: jnp.ndarray, slate_length: int) -> jnp.ndarray:
     return positions >= lengths[:, None].astype(jnp.int32)
 
 
-def make_scorer(params, mdef: LTRModelDef, compute_dtype="float32"):
+def make_scorer(params, mdef: LTRModelDef, compute_dtype="float32",
+                quantize=None):
     """Jitted ``(x [B, L, F], lengths [B]) -> scores [B, L]``; padded
-    positions score -inf (sort-last under any downstream ordering)."""
+    positions score -inf (sort-last under any downstream ordering).
+
+    ``quantize="int8"`` runs every tower matmul as dynamic w8a8 int8 on the
+    MXU (see quant.py) — weights are quantized once here; ``compute_dtype``
+    is ignored on that path (LN/softmax stay fp32 by design)."""
+    if quantize is not None:
+        if quantize != "int8":
+            raise ValueError(f"unknown quantize mode '{quantize}' "
+                             "(supported: 'int8')")
+        from allrank_tpu.quant import quantize_model, quantized_score
+
+        qparams = quantize_model(params, mdef)
+
+        @jax.jit
+        def q_scorer(x, lengths):
+            mask = _mask_from_lengths(lengths, x.shape[1])
+            indices = jnp.ones(x.shape[:2], dtype=jnp.int32)
+            scores = quantized_score(qparams, mdef, x, mask, indices)
+            return jnp.where(mask, -jnp.inf, scores.astype(jnp.float32))
+
+        return q_scorer
+
     dtype = jnp.dtype(compute_dtype)
 
     @jax.jit
@@ -59,10 +81,11 @@ def make_scorer(params, mdef: LTRModelDef, compute_dtype="float32"):
     return scorer
 
 
-def make_ranker(params, mdef: LTRModelDef, compute_dtype="float32"):
+def make_ranker(params, mdef: LTRModelDef, compute_dtype="float32",
+                quantize=None):
     """Jitted ``(x, lengths) -> order [B, L]``: document indices in
     descending score order, padded positions last."""
-    scorer = make_scorer(params, mdef, compute_dtype)
+    scorer = make_scorer(params, mdef, compute_dtype, quantize=quantize)
 
     @jax.jit
     def ranker(x, lengths):
@@ -73,12 +96,17 @@ def make_ranker(params, mdef: LTRModelDef, compute_dtype="float32"):
 
 
 def make_sharded_scorer(params, mdef: LTRModelDef, mesh,
-                        compute_dtype="float32"):
+                        compute_dtype="float32", quantize=None):
     """Pod-scale serving: ``(x, lengths) -> scores`` jitted over a device
     mesh — the batch is sharded across the ``data`` axis and params are
     replicated over ``data`` (tensor-sharded over ``model`` when the mesh
     has one; same layout rules as training, parallel/mesh.py). XLA inserts
     the collectives; per-request math is identical to ``make_scorer``.
+
+    ``quantize="int8"`` serves the w8a8 tower (quant.py); the int8 weights
+    (4x smaller than fp32) are replicated over the whole mesh rather than
+    tensor-sharded — at serving scale the batch axis is the one that needs
+    devices.
 
     The global batch must be divisible by the mesh's ``data`` axis size.
     """
@@ -87,15 +115,28 @@ def make_sharded_scorer(params, mdef: LTRModelDef, mesh,
     from allrank_tpu.parallel.mesh import DATA_AXIS, param_shardings
 
     dtype = jnp.dtype(compute_dtype)
-    p_shard = param_shardings(params, mesh)
-    params_on_mesh = jax.device_put(params, p_shard)
+    if quantize is not None:
+        if quantize != "int8":
+            raise ValueError(f"unknown quantize mode '{quantize}' "
+                             "(supported: 'int8')")
+        from allrank_tpu.quant import quantize_model, quantized_score
+
+        q = quantize_model(params, mdef)
+        p_shard = jax.tree.map(lambda _: NamedSharding(mesh, P()), q)
+        params_on_mesh = jax.device_put(q, p_shard)
+    else:
+        p_shard = param_shardings(params, mesh)
+        params_on_mesh = jax.device_put(params, p_shard)
     data = NamedSharding(mesh, P(DATA_AXIS))
 
     def _score(p, x, lengths):
         mask = _mask_from_lengths(lengths, x.shape[1])
         indices = jnp.ones(x.shape[:2], dtype=jnp.int32)
-        s = score(p, mdef, x, mask, indices, train=False,
-                  compute_dtype=dtype)
+        if quantize is not None:
+            s = quantized_score(p, mdef, x, mask, indices)
+        else:
+            s = score(p, mdef, x, mask, indices, train=False,
+                      compute_dtype=dtype)
         return jnp.where(mask, -jnp.inf, s.astype(jnp.float32))
 
     jitted = jax.jit(_score, in_shardings=(p_shard, data, data),

@@ -193,3 +193,24 @@ def test_http_malformed_body_returns_400_not_dropped_connection():
     finally:
         server.shutdown()
         service.close()
+
+
+def test_int8_service_matches_direct_int8_scorer():
+    mdef, params = _model()
+    service = SlateScoringService(params, mdef, L, F, batch_size=4,
+                                  max_wait_ms=20, compute_dtype="int8")
+    try:
+        rng = np.random.RandomState(5)
+        slates = [rng.randn(n, F).astype(np.float32) for n in (3, 8, 1, 5)]
+        futures = [service.submit(s) for s in slates]
+        got = [f.result(timeout=30) for f in futures]
+
+        scorer = make_scorer(params, mdef, quantize="int8")
+        for s, g in zip(slates, got):
+            xb = np.zeros((1, L, F), dtype=np.float32)
+            xb[0, : len(s)] = s
+            ref = np.asarray(
+                scorer(xb, np.asarray([len(s)], dtype=np.int32)))[0, : len(s)]
+            np.testing.assert_allclose(g, ref, rtol=1e-5, atol=1e-5)
+    finally:
+        service.close()

@@ -54,12 +54,15 @@ def main() -> None:
             rng.randint(L // 2, L + 1, size=B).astype(np.int32))
         return x, lengths
 
-    # --- marginal device time per call, fp32 vs bf16, over batch sizes ---
+    # --- marginal device time per call, fp32/bf16/int8, over batch sizes ---
     print("\nB      dtype     ms/call   slates/s")
     for B in [int(b) for b in args.batches.split(",")]:
         x, lengths = batch(B)
-        for dtype in ("float32", "bfloat16"):
-            scorer = make_scorer(params, mdef, dtype)
+        for dtype in ("float32", "bfloat16", "int8"):
+            if dtype == "int8":
+                scorer = make_scorer(params, mdef, quantize="int8")
+            else:
+                scorer = make_scorer(params, mdef, dtype)
 
             def step(state):
                 s = scorer(x, lengths)
