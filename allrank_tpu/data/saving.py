@@ -38,3 +38,20 @@ def write_to_libsvm_without_masked(
     from sklearn.datasets import dump_svmlight_file
 
     dump_svmlight_file(flat_x, flat_y, path, query_id=flat_qid)
+    if flat_x.shape[0] and not np.any(flat_x[:, 0]):
+        # base pinning (same rule as the native writer): a zero-based dump
+        # with column 0 entirely zero would auto-detect as one-based on
+        # re-read, shifting every column. Insert one explicit `0:0` after
+        # the first row's qid token to disambiguate.
+        with open(path) as f:
+            lines = f.readlines()
+        for i, line in enumerate(lines):
+            if line.strip() and not line.lstrip().startswith("#"):
+                toks = line.split()
+                qpos = next(j for j, t in enumerate(toks)
+                            if t.startswith("qid:"))
+                toks.insert(qpos + 1, "0:0")
+                lines[i] = " ".join(toks) + "\n"
+                break
+        with open(path, "w") as f:
+            f.writelines(lines)

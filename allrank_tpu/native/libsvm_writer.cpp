@@ -11,6 +11,14 @@
 // Line grammar matches sklearn's default dump: zero-based feature indices,
 // zero values omitted, `label qid:Q i:v i:v ...`.
 //
+// Base pinning: svmlight readers (sklearn's "auto" rule, mirrored by
+// libsvm_parser.cpp) treat a file as ONE-based unless a 0 index appears
+// somewhere — so a zero-based dump whose column 0 is entirely zero would
+// be re-read with every column shifted left (a real sklearn dump/load
+// footgun, found by tools/fuzz_libsvm.py). When column 0 has no non-zero
+// anywhere, this writer emits one explicit `0:0` on the first row: valid
+// grammar, value unchanged, and the round-trip is unambiguous.
+//
 // Build: make native   (g++ -O3 -std=c++17 -shared -fPIC -pthread)
 
 #include <algorithm>
@@ -38,13 +46,14 @@ inline void append_num(std::string& out, int64_t v) {
 
 void format_rows(const float* X, const float* y, const int64_t* qid,
                  int64_t row_begin, int64_t row_end, int64_t n_feat,
-                 std::string& out) {
+                 bool pin_base, std::string& out) {
   out.reserve(static_cast<size_t>(row_end - row_begin) *
               static_cast<size_t>(n_feat) * 14u);
   for (int64_t r = row_begin; r < row_end; ++r) {
     append_num(out, y[r]);
     out += " qid:";
     append_num(out, qid[r]);
+    if (pin_base && r == 0) out += " 0:0";
     const float* row = X + r * n_feat;
     for (int64_t j = 0; j < n_feat; ++j) {
       const float v = row[j];
@@ -71,6 +80,12 @@ extern "C" int64_t write_svmlight(const float* X, const float* y,
   FILE* f = std::fopen(path, "wb");
   if (f == nullptr) return 2;
 
+  // base pinning: does column 0 carry any non-zero?
+  bool col0_used = false;
+  for (int64_t r = 0; r < n_rows && !col0_used; ++r)
+    col0_used = X[r * n_feat] != 0.0f;
+  const bool pin_base = n_rows > 0 && !col0_used;
+
   // waves bound the formatted-text footprint: ~8 MB of buffer per thread
   // in flight regardless of the feature count (a fixed ROW count would
   // scale the footprint with n_feat — ~1 GB/wave at 136 dense features)
@@ -89,7 +104,7 @@ extern "C" int64_t write_svmlight(const float* X, const float* y,
       chunks[static_cast<size_t>(t)].clear();
       if (begin >= end) continue;
       workers.emplace_back(format_rows, X, y, qid, begin, end, n_feat,
-                           std::ref(chunks[static_cast<size_t>(t)]));
+                           pin_base, std::ref(chunks[static_cast<size_t>(t)]));
     }
     for (auto& w : workers) w.join();
     for (const auto& c : chunks) {

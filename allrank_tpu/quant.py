@@ -107,11 +107,15 @@ def quantized_bytes(qparams: dict) -> int:
 
 
 def _q_attention(lp: dict, tdef, x, key_mask):
-    """Eval-mode multi-head attention with int8 QKV / out projections; the
-    attention core (scores, softmax, context) stays fp32 — it is
-    activation-activation, has no weight to pre-quantize, and its softmax
-    is precision-sensitive. Same math as models/transformer.py
-    ``_attention`` with train=False."""
+    """Eval-mode multi-head attention with int8 QKV / out projections. The
+    attention core (scores, softmax, context) is activation-activation —
+    there is no weight to pre-quantize — so it runs in float: through the
+    same fused Pallas kernels the float serving path dispatches (bf16, the
+    dtype the kernel policy wins at) when available, falling back to the
+    fp32 einsum chain. Same math as models/transformer.py ``_attention``
+    with train=False."""
+    from allrank_tpu.models.transformer import _fused_attention_runner
+
     b, l, d = x.shape
     h, d_k = tdef.h, tdef.d_model // tdef.h
     qkv = q_dense_apply(lp["qkv"], x)  # [B, L, 3d] f32
@@ -119,6 +123,19 @@ def _q_attention(lp: dict, tdef, x, key_mask):
     q = q.reshape(b, l, h, d_k)
     k = k.reshape(b, l, h, d_k)
     v = v.reshape(b, l, h, d_k)
+
+    fused = _fused_attention_runner(l, b, 0.0, heads=h, dtype=jnp.bfloat16)
+    if fused is not None:
+        bf = jnp.bfloat16
+        ctx = fused(
+            q.astype(bf).transpose(0, 2, 1, 3),
+            k.astype(bf).transpose(0, 2, 1, 3),
+            v.astype(bf).transpose(0, 2, 1, 3),
+            key_mask, jnp.zeros((), dtype=jnp.int32), 0.0,
+        )
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, d).astype(F32)
+        return q_dense_apply(lp["out"], ctx)
+
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(d_k)
     scores = jnp.where(key_mask[:, None, None, :], NEG_INF_FILL, scores)
     probs = jax.nn.softmax(scores, axis=-1)

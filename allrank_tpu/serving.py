@@ -188,13 +188,14 @@ def aot_compile(fn, batch_size: int, slate_length: int, n_features: int):
 
 def export_scorer(params, mdef: LTRModelDef, slate_length: int,
                   n_features: int, path: str, batch_size: int = 64,
-                  compute_dtype="float32") -> str:
+                  compute_dtype="float32", quantize=None) -> str:
     """Serialize the scorer (weights baked in) to a portable StableHLO
     artifact at ``path``. Shapes are fixed at export: [batch_size,
-    slate_length, n_features] inputs."""
+    slate_length, n_features] inputs. ``quantize="int8"`` bakes the w8a8
+    tower in — the artifact carries int8 weights (4x smaller)."""
     from jax import export as jexport
 
-    scorer = make_scorer(params, mdef, compute_dtype)
+    scorer = make_scorer(params, mdef, compute_dtype, quantize=quantize)
     exported = jexport.export(scorer)(
         jax.ShapeDtypeStruct((batch_size, slate_length, n_features),
                              jnp.float32),

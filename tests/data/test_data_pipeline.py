@@ -352,3 +352,58 @@ class TestNativeAssembler:
                 np.testing.assert_array_equal(b.x[row], sx[idx])
         # permute slate (row 2, n == L): all original ranks present
         assert sorted(native_b.indices[2].tolist()) == list(range(7))
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_native_python_fuzz_parity(self, seed):
+        """Seeded shape fuzz of the two assembly paths: random slate-length
+        mixes (pad / exact / subsample, incl. 1-doc slates). Deterministic
+        slates (n <= L) must be BITWISE equal across paths; subsampled
+        slates must satisfy the provenance + relevance-guard invariants on
+        both paths."""
+        import os
+
+        self._lib()
+        rng = np.random.RandomState(1000 + seed)
+        n_slates = rng.randint(2, 12)
+        L = rng.randint(1, 9)
+        docs = [int(rng.randint(1, 2 * L + 2)) for _ in range(n_slates)]
+        F = rng.randint(1, 6)
+        X = rng.randn(sum(docs), F).astype(np.float32)
+        y = rng.randint(0, 3, sum(docs)).astype(np.float32)
+        qids = np.repeat(np.arange(n_slates), docs)
+        ds = SlateDataset(X, y, qids)
+
+        def collect():
+            b = SlateBatcher(ds, L, n_slates, shuffle=False, seed=seed)
+            b.set_epoch(0)
+            return next(iter(b))
+
+        native_b = collect()
+        os.environ["ALLRANK_TPU_NO_NATIVE_ASSEMBLY"] = "1"
+        try:
+            import allrank_tpu.data.native as native_mod
+
+            native_mod._ASM_TRIED = False
+            py_b = collect()
+        finally:
+            del os.environ["ALLRANK_TPU_NO_NATIVE_ASSEMBLY"]
+            native_mod._ASM_TRIED = False
+
+        for row in range(n_slates):
+            n = docs[row]
+            sx, sy = ds[row]
+            if n < L:  # deterministic: pad in source order (n >= L slates
+                # draw a permutation/subsample -> RNGs differ across paths)
+                np.testing.assert_array_equal(native_b.x[row], py_b.x[row])
+                np.testing.assert_array_equal(native_b.y[row], py_b.y[row])
+                np.testing.assert_array_equal(native_b.indices[row],
+                                              py_b.indices[row])
+            for b in (native_b, py_b):
+                idx = b.indices[row]
+                real = idx >= 0
+                assert real.sum() == min(n, L)
+                np.testing.assert_array_equal(b.y[row][real], sy[idx[real]])
+                np.testing.assert_array_equal(b.x[row][real], sx[idx[real]])
+                # subsample keeps >=1 relevant doc when the source had one
+                if n > L and (sy > 0).any():
+                    assert (b.y[row][real] > 0).any()

@@ -172,3 +172,19 @@ def test_unknown_quantize_mode_raises():
     mdef, params = _full_model(seed=10)
     with pytest.raises(ValueError, match="quantize"):
         make_scorer(params, mdef, quantize="int4")
+
+
+def test_int8_export_roundtrip(tmp_path):
+    from allrank_tpu.serving import export_scorer, load_scorer
+
+    mdef, params = _full_model(seed=11)
+    scorer = make_scorer(params, mdef, quantize="int8")
+    path = export_scorer(params, mdef, slate_length=10, n_features=8,
+                         path=str(tmp_path / "scorer_int8.hlo"),
+                         batch_size=3, quantize="int8")
+    loaded = load_scorer(path)
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.randn(3, 10, 8).astype(np.float32))
+    lengths = jnp.asarray([10, 2, 7], dtype=jnp.int32)
+    np.testing.assert_allclose(np.asarray(loaded(x, lengths)),
+                               np.asarray(scorer(x, lengths)), rtol=1e-6)

@@ -113,6 +113,40 @@ def _sklearn_parse(path: str):
             y.astype(np.float32), qids.astype(np.int64))
 
 
+def run_writer_case(seed: int):
+    """Round-trip fuzz of the native WRITER: random arrays (extreme float32
+    magnitudes, explicit zeros, negative labels, int64 qids) -> native
+    write -> parse through BOTH parsers -> must equal the source bitwise.
+    Returns a list of discrepancy strings."""
+    from allrank_tpu.data.native import parse_svmlight_native, write_svmlight_native
+
+    rng = np.random.RandomState(seed)
+    n, f = rng.randint(1, 80), rng.randint(1, 40)
+    X = (rng.randn(n, f) * 10.0 ** rng.randint(-20, 20, size=(n, f))
+         ).astype(np.float32)
+    X[rng.rand(n, f) < 0.4] = 0.0  # sparsity (zeros omitted on write)
+    # the parser needs at least one non-zero column to detect n_features;
+    # pin the last column so shapes round-trip
+    X[rng.randint(n), f - 1] = 1.0
+    y = rng.choice([0.0, 1.0, 2.0, -1.0, 3.5], size=n).astype(np.float32)
+    qids = np.sort(rng.randint(0, 1 << 40, size=n)).astype(np.int64)
+
+    problems = []
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "w.txt")
+        if not write_svmlight_native(X, y, qids, path):
+            return ["native writer unavailable"]
+        native = parse_svmlight_native(path)
+        if native is None:
+            return ["native parser unavailable"]
+        for label, parsed in (("native", native), ("sklearn", _sklearn_parse(path))):
+            for name, a, b in zip(("X", "y", "qids"), parsed, (X, y, qids)):
+                if a.shape != b.shape or not np.array_equal(a, b):
+                    problems.append(
+                        f"writer seed {seed}: {label} {name} mismatch")
+    return problems
+
+
 def run_case(seed: int, big: bool = False):
     """Returns a list of discrepancy strings (empty = parity)."""
     from allrank_tpu.data.native import parse_svmlight_native
@@ -147,15 +181,17 @@ def main() -> int:
     failures = []
     for i in range(args.cases):
         failures += run_case(args.seed + i)
+        failures += run_writer_case(args.seed + i)
     failures += run_case(args.seed + 10_000, big=True)  # multithreaded path
-    n_total = args.cases + 1
+    n_total = 2 * args.cases + 1
     if failures:
         print(f"FAIL: {len(failures)} discrepancies over {n_total} files:")
         for f in failures[:20]:
             print("  " + f)
         return 1
-    print(f"OK: native parser bitwise-matches sklearn on {n_total} "
-          f"fuzzed files (incl. 1 multithreaded >1MB case)")
+    print(f"OK: native parser/writer bitwise-match sklearn on {n_total} "
+          f"fuzzed files (incl. {args.cases} writer round-trips and 1 "
+          f"multithreaded >1MB case)")
     return 0
 
 
