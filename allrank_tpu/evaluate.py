@@ -64,6 +64,11 @@ def parse_args() -> Namespace:
                         help="Path to the .npz checkpoint to score")
     parser.add_argument("--roles", required=True, type=split_as_strings,
                         help="Comma-separated dataset roles to evaluate")
+    parser.add_argument("--quantize", default=None,
+                        choices=["int8"],
+                        help="evaluate the checkpoint through the w8a8 int8 "
+                             "tower (quant.py) — measures the serving-time "
+                             "quantization quality delta offline")
     return parser.parse_args()
 
 
@@ -103,6 +108,17 @@ def run(args: Namespace = None) -> dict:
                          args.input_model_path)
     logger.info("loaded model weights from %s", args.input_model_path)
 
+    quantize = getattr(args, "quantize", None)
+    forward_fn = None
+    if quantize == "int8":
+        from allrank_tpu.quant import quantize_model, quantized_forward
+
+        params = quantize_model(params, mdef)
+        forward_fn = lambda p, x, m, i: quantized_forward(p, mdef, x, m, i)  # noqa: E731
+        logger.info("evaluating through the int8 w8a8 quantized tower")
+    elif quantize is not None:
+        raise ValueError(f"unknown quantize mode '{quantize}'")
+
     # the training pod path: params laid out over the mesh, the global batch
     # sharded over 'data', each process assembling only its own rows
     from allrank_tpu.data.batching import DevicePrefetcher
@@ -130,6 +146,7 @@ def run(args: Namespace = None) -> dict:
     eval_step = make_eval_fns(
         mdef, loss_fn, config.loss.args, needs_rng, config.metrics,
         config.training.compute_dtype, table_gather=table_gather,
+        forward_fn=forward_fn,
     )
     rng = jax.random.PRNGKey(42)
 

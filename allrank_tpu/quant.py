@@ -143,13 +143,12 @@ def _q_attention(lp: dict, tdef, x, key_mask):
     return q_dense_apply(lp["out"], ctx)
 
 
-def quantized_score(qparams: dict, mdef: LTRModelDef, x: jnp.ndarray,
-                    mask: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
-    """Eval-mode per-document scores [B, L] through the quantized tower.
-
-    Mirrors models/factory.py ``score`` (train=False) with every dense
-    matmul routed through ``q_dense_apply``; multi-output heads sum over
-    d_output exactly like the float path."""
+def quantized_forward(qparams: dict, mdef: LTRModelDef, x: jnp.ndarray,
+                      mask: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
+    """Eval-mode full model through the quantized tower: [B, L, d_output]
+    squeezed to [B, L] when d_output == 1 — mirrors models/factory.py
+    ``forward`` (train=False) with every dense matmul routed through
+    ``q_dense_apply``."""
     x = x.astype(F32)
     if mdef.fc:
         fcp = qparams["fc"]
@@ -174,7 +173,14 @@ def quantized_score(qparams: dict, mdef: LTRModelDef, x: jnp.ndarray,
     out = q_dense_apply(qparams["output"], x)
     if mdef.output.d_output == 1:
         out = jnp.squeeze(out, axis=2)
-    out = get_activation(mdef.output.output_activation)(out)
+    return get_activation(mdef.output.output_activation)(out)
+
+
+def quantized_score(qparams: dict, mdef: LTRModelDef, x: jnp.ndarray,
+                    mask: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
+    """Eval-mode per-document scores [B, L] through the quantized tower;
+    multi-output heads sum over d_output exactly like factory ``score``."""
+    out = quantized_forward(qparams, mdef, x, mask, indices)
     if mdef.output.d_output > 1:
         out = jnp.sum(out, axis=-1)
     return out

@@ -253,24 +253,31 @@ def make_eval_fns(
     metrics: Dict[str, Sequence[int]],
     compute_dtype: str = "float32",
     table_gather=None,
+    forward_fn=None,
 ):
     """Build the jitted eval step:
     (params, rng, batch) -> ({metric_name_at: sum}, loss_sum, n_real).
+
+    ``forward_fn(params, x, mask, indices)`` overrides the model forward
+    (e.g. quant.quantized_forward for int8 offline evaluation — the params
+    passed to the step must then be the matching quantized tree).
     """
     dtype = _compute_dtype(compute_dtype)
     loss_kwargs = dict(loss_kwargs or {})
     metric_fns = {name: (get_metric(name), tuple(ats)) for name, ats in metrics.items()}
     gather = table_gather if table_gather is not None else (
         lambda t, i: jnp.take(t, i, axis=0))
+    if forward_fn is None:
+        def forward_fn(params, x, mask, indices):
+            return forward(params, mdef, x, mask, indices, train=False,
+                           compute_dtype=dtype)
 
     def step(params, rng, batch: SlateBatch, table=None):
         x, y, indices, slate_mask = batch
         if table is not None:
             x = gather(table, x)  # device feature store gather
         mask = y == PADDED_Y_VALUE
-        preds = forward(
-            params, mdef, x, mask, indices, train=False, compute_dtype=dtype
-        )
+        preds = forward_fn(params, x, mask, indices)
         kw = dict(loss_kwargs)
         if needs_rng:
             kw["rng"] = rng

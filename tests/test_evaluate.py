@@ -97,3 +97,33 @@ def test_evaluate_gate_fails_on_unmet_expectation(tmp_path):
     with pytest.raises(AssertionError, match="expected to be at least"):
         evaluate(Namespace(job_dir=job, run_id="g", config_file_name=gated,
                            input_model_path=model, roles=["vali"]))
+
+
+def test_evaluate_int8_quantized_tracks_fp32(tmp_path):
+    """--quantize int8: the offline quality-delta check a production user
+    runs before enabling int8 serving. The quantized eval must run the full
+    CLI path and land within 2% relative on every ranking metric."""
+    from allrank_tpu.evaluate import run as evaluate
+    from allrank_tpu.main import run as train
+
+    data_dir = str(tmp_path / "data")
+    write_dummy_dataset(data_dir, num_queries=48, results_len=12,
+                        num_features=16)
+    cfg_path = str(tmp_path / "config.json")
+    json.dump(_config(data_dir), open(cfg_path, "w"))
+
+    job = str(tmp_path / "job")
+    train(Namespace(job_dir=job, run_id="t", config_file_name=cfg_path))
+    model = os.path.join(job, "results", "t", "model.npz")
+
+    fp32 = evaluate(Namespace(job_dir=job, run_id="e32",
+                              config_file_name=cfg_path,
+                              input_model_path=model, roles=["vali"]))
+    int8 = evaluate(Namespace(job_dir=job, run_id="e8",
+                              config_file_name=cfg_path,
+                              input_model_path=model, roles=["vali"],
+                              quantize="int8"))
+    for k in ("ndcg_5", "mrr_5", "map_5"):
+        assert int8["vali"][k] == pytest.approx(fp32["vali"][k], rel=0.02), k
+    out = os.path.join(job, "results", "e8", "evaluation_result.json")
+    assert "vali/ndcg_5" in json.load(open(out))
