@@ -70,6 +70,10 @@ class DataConfig:
     # length buckets (one compiled eval shape per bucket) instead of padding
     # every slate to the split's longest — metric-invariant, but the O(L^2)+
     # eval-loss terms run near each slate's true length
+    binary_cache: bool = False  # parse each split once, then load .npy
+    # sidecars with X memory-mapped: ~0 re-load time on multi-GB files and
+    # no second dense host-RAM copy (the OS pages features on demand);
+    # invalidates automatically when the source .txt changes
     device_cache: bool = False  # keep the flat feature matrices in HBM and
     # feed steps [B, L] int32 gather indices instead of [B, L, F] rows —
     # eliminates the per-step host->device feature stream (the training

@@ -45,6 +45,62 @@ def _parse_svmlight_sklearn(stream):
     )
 
 
+_CACHE_VERSION = 1
+
+
+def _cache_paths(path: str):
+    base = str(path) + ".npycache"
+    return (base + ".meta.json", base + ".X.npy", base + ".y.npy",
+            base + ".qids.npy")
+
+
+def parse_svmlight_cached(path) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """``parse_svmlight`` behind a binary sidecar cache: the first load
+    writes ``<path>.npycache.{X,y,qids}.npy`` (+ a meta stamp of the
+    source's size/mtime), subsequent loads memory-map X in ~0 time — no
+    re-parse, and the OS pages the feature matrix lazily instead of the
+    host holding a second multi-GB dense copy. The cache invalidates when
+    the source file changes; write failures (read-only dataset dirs)
+    degrade silently to a plain parse. No reference analog (the reference
+    re-parses the text file every run —
+    reference: allrank/data/dataset_loading.py:118-129)."""
+    import json
+
+    meta_p, x_p, y_p, q_p = _cache_paths(path)
+    st = os.stat(path)
+    stamp = {"version": _CACHE_VERSION, "size": st.st_size,
+             "mtime_ns": st.st_mtime_ns}
+    try:
+        with open(meta_p) as f:
+            if json.load(f) == stamp:
+                x = np.load(x_p, mmap_mode="r")
+                y = np.load(y_p)
+                qids = np.load(q_p)
+                logger.info("dataset cache hit: %s (X memory-mapped)", x_p)
+                return x, y, qids
+            logger.info("dataset cache stale for %s; re-parsing", path)
+    except (OSError, ValueError):
+        pass
+
+    x, y, qids = parse_svmlight(path)
+    try:
+        # atomic-ish: data files first, meta stamp last (a partial write
+        # without meta is just a miss, never a corrupt hit)
+        for p, arr in ((x_p, x), (y_p, y), (q_p, qids)):
+            tmp = p + ".tmp"
+            with open(tmp, "wb") as f:
+                np.save(f, arr)
+            os.replace(tmp, p)
+        with open(meta_p + ".tmp", "w") as f:
+            json.dump(stamp, f)
+        os.replace(meta_p + ".tmp", meta_p)
+        logger.info("wrote dataset cache %s", x_p)
+    except OSError as exc:
+        logger.warning("dataset cache write failed (%s); continuing uncached",
+                       exc)
+    return x, y, qids
+
+
 class SlateDataset:
     """Slates (query groups) of documents: per-qid feature/label arrays."""
 
@@ -72,8 +128,10 @@ class SlateDataset:
         logger.info("longest query had %d documents", self.longest_query_length)
 
     @classmethod
-    def from_svm_file(cls, svm_file_path) -> "SlateDataset":
-        x, y, qids = parse_svmlight(svm_file_path)
+    def from_svm_file(cls, svm_file_path,
+                      binary_cache: bool = False) -> "SlateDataset":
+        parse = parse_svmlight_cached if binary_cache else parse_svmlight
+        x, y, qids = parse(svm_file_path)
         logger.info(
             "loaded dataset from %s with x shape %s, y shape %s",
             svm_file_path, x.shape, y.shape,
@@ -100,14 +158,16 @@ class SlateDataset:
         return [len(self), self.longest_query_length, self.n_features]
 
 
-def load_dataset_role(role: str, input_path: str, slate_length: int):
+def load_dataset_role(role: str, input_path: str, slate_length: int,
+                      binary_cache: bool = False):
     """Load ``{input_path}/{role}.txt``; returns (dataset, effective_slate_length).
 
     Train slates fix to ``slate_length``; other roles pad to their longest
-    slate (reference: dataset_loading.py:185-227)."""
+    slate (reference: dataset_loading.py:185-227). ``binary_cache`` loads
+    through the parse-once .npy sidecar cache (memory-mapped X)."""
     path = os.path.join(input_path, f"{role}.txt")
     logger.info("loading %s data from %s", role, path)
-    ds = SlateDataset.from_svm_file(path)
+    ds = SlateDataset.from_svm_file(path, binary_cache=binary_cache)
     if role == "train":
         effective = int(slate_length)
     else:
@@ -117,9 +177,13 @@ def load_dataset_role(role: str, input_path: str, slate_length: int):
 
 
 def load_dataset(
-    input_path: str, slate_length: int, validation_ds_role: str
+    input_path: str, slate_length: int, validation_ds_role: str,
+    binary_cache: bool = False,
 ) -> Tuple["SlateDataset", int, "SlateDataset", int]:
     """Load train + validation datasets; returns (train_ds, train_len, val_ds, val_len)."""
-    train_ds, train_len = load_dataset_role("train", input_path, slate_length)
-    val_ds, val_len = load_dataset_role(validation_ds_role, input_path, slate_length)
+    train_ds, train_len = load_dataset_role("train", input_path, slate_length,
+                                            binary_cache=binary_cache)
+    val_ds, val_len = load_dataset_role(validation_ds_role, input_path,
+                                        slate_length,
+                                        binary_cache=binary_cache)
     return train_ds, train_len, val_ds, val_len

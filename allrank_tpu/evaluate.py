@@ -94,8 +94,9 @@ def run(args: Namespace = None) -> dict:
                      os.path.join(paths.output_dir, "used_config.json"))
 
     datasets = {
-        role: load_dataset_role(role, config.data.path,
-                                config.data.slate_length)
+        role: load_dataset_role(
+            role, config.data.path, config.data.slate_length,
+            binary_cache=getattr(config.data, "binary_cache", False))
         for role in args.roles
     }
     n_features = [ds.n_features for ds, _ in datasets.values()]

@@ -103,7 +103,9 @@ def run(args: Namespace = None) -> dict:
         jax.config.update("jax_debug_nans", True)
 
     train_ds, train_len, val_ds, val_len = load_dataset(
-        config.data.path, config.data.slate_length, config.data.validation_ds_role
+        config.data.path, config.data.slate_length,
+        config.data.validation_ds_role,
+        binary_cache=getattr(config.data, "binary_cache", False),
     )
     n_features = train_ds.n_features
     assert n_features == val_ds.n_features, "train/val feature size mismatch!"
