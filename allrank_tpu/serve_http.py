@@ -39,12 +39,25 @@ class SlateScoringService:
 
     def __init__(self, params, mdef, slate_length: int, n_features: int,
                  batch_size: int = 64, max_wait_ms: float = 5.0,
-                 compute_dtype: str = "bfloat16", mesh=None):
+                 compute_dtype: str = "bfloat16", mesh=None,
+                 batch_buckets=None):
+        """``batch_buckets`` (e.g. ``(1, 8, 64)``) compiles one executable
+        per bucket and routes each wave to the smallest bucket that fits —
+        a 1-request wave at low QPS costs a B=1 program, not a padded
+        B=64 one. Default: a single bucket of ``batch_size``."""
         from allrank_tpu.serving import (aot_compile, make_scorer,
                                          make_sharded_scorer)
 
         self.slate_length = int(slate_length)
         self.n_features = int(n_features)
+        if batch_buckets:
+            self.buckets = tuple(sorted(int(b) for b in batch_buckets))
+            if int(batch_size) != self.buckets[-1]:
+                raise ValueError(
+                    f"batch_size {batch_size} must equal the largest bucket "
+                    f"{self.buckets[-1]}")
+        else:
+            self.buckets = (int(batch_size),)
         self.batch_size = int(batch_size)
         self.max_wait_s = float(max_wait_ms) / 1e3
         # "int8" as a compute_dtype serves the w8a8 quantized tower
@@ -52,30 +65,39 @@ class SlateScoringService:
         quantize = "int8" if compute_dtype == "int8" else None
         if quantize:
             compute_dtype = "float32"
+        self._compiled_by_bucket = {}
         if mesh is not None:
             # pod serving: every wave scored over the mesh (batch sharded on
             # 'data', params TP-sharded by the training layout rules). Warm
             # the compile here so the first request pays no stall, matching
             # the AOT single-device path.
-            if self.batch_size % mesh.shape["data"]:
-                raise ValueError(
-                    f"batch_size {self.batch_size} not divisible by the "
-                    f"mesh data axis {mesh.shape['data']}")
-            self._compiled = make_sharded_scorer(params, mdef, mesh,
-                                                 compute_dtype,
-                                                 quantize=quantize)
-            self._compiled(
-                np.zeros((self.batch_size, self.slate_length,
-                          self.n_features), dtype=np.float32),
-                np.ones(self.batch_size, dtype=np.int32),
-            )
-            self.executable_info = {"sharded_over": dict(mesh.shape)}
+            for b in self.buckets:
+                if b % mesh.shape["data"]:
+                    raise ValueError(
+                        f"batch bucket {b} not divisible by the "
+                        f"mesh data axis {mesh.shape['data']}")
+            sharded = make_sharded_scorer(params, mdef, mesh, compute_dtype,
+                                          quantize=quantize)
+            for b in self.buckets:
+                sharded(
+                    np.zeros((b, self.slate_length, self.n_features),
+                             dtype=np.float32),
+                    np.ones(b, dtype=np.int32),
+                )  # warm each bucket shape
+                self._compiled_by_bucket[b] = sharded
+            self.executable_info = {"sharded_over": dict(mesh.shape),
+                                    "buckets": self.buckets}
         else:
             scorer = make_scorer(params, mdef, compute_dtype,
                                  quantize=quantize)
-            self._compiled, self.executable_info = aot_compile(
-                scorer, self.batch_size, self.slate_length, self.n_features
-            )
+            for b in self.buckets:
+                compiled, info = aot_compile(
+                    scorer, b, self.slate_length, self.n_features)
+                self._compiled_by_bucket[b] = compiled
+                self.executable_info = info
+            if len(self.buckets) > 1:
+                self.executable_info = dict(self.executable_info or {},
+                                            buckets=self.buckets)
         self._queue: "queue.Queue" = queue.Queue()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._loop, daemon=True)
@@ -138,11 +160,13 @@ class SlateScoringService:
         return wave
 
     def _loop(self) -> None:
-        B, L, F = self.batch_size, self.slate_length, self.n_features
+        L, F = self.slate_length, self.n_features
         while not self._stop.is_set():
             wave = self._collect_wave()
             if not wave:
                 continue
+            # smallest compiled bucket that fits this wave
+            B = next(b for b in self.buckets if b >= len(wave))
             xb = np.zeros((B, L, F), dtype=np.float32)
             lengths = np.zeros(B, dtype=np.int32)
             for i, (x, _) in enumerate(wave):
@@ -150,7 +174,7 @@ class SlateScoringService:
                 xb[i, :n] = x
                 lengths[i] = n
             try:
-                scores = np.asarray(self._compiled(xb, lengths))
+                scores = np.asarray(self._compiled_by_bucket[B](xb, lengths))
                 for i, (x, fut) in enumerate(wave):
                     fut.set_result(scores[i, : x.shape[0]].copy())
             except Exception as exc:  # device failure -> fail the wave
@@ -255,6 +279,10 @@ def main() -> None:
                     help="feature dimension the model was trained with")
     ap.add_argument("--port", type=int, default=8080)
     ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument("--batch-buckets", default=None,
+                    help="comma-separated wave buckets, e.g. 1,8,64 — one "
+                         "compiled executable per bucket; the largest must "
+                         "equal --batch-size")
     ap.add_argument("--max-wait-ms", type=float, default=5.0)
     ap.add_argument("--compute-dtype", default="bfloat16",
                     choices=["float32", "bfloat16", "int8"],
@@ -269,6 +297,8 @@ def main() -> None:
         params, mdef, config.data.slate_length, args.n_features,
         batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
         compute_dtype=args.compute_dtype,
+        batch_buckets=([int(b) for b in args.batch_buckets.split(",")]
+                       if args.batch_buckets else None),
     )
     logger = get_logger()
     logger.info("scoring service on :%d (batch %d, wait %.1f ms, %s): %s",

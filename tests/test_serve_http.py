@@ -214,3 +214,51 @@ def test_int8_service_matches_direct_int8_scorer():
             np.testing.assert_allclose(g, ref, rtol=1e-5, atol=1e-5)
     finally:
         service.close()
+
+
+def test_bucketed_service_routes_waves_to_smallest_bucket():
+    mdef, params = _model()
+    service = SlateScoringService(params, mdef, L, F, batch_size=4,
+                                  max_wait_ms=30, compute_dtype="float32",
+                                  batch_buckets=(1, 2, 4))
+    used = []
+    orig = dict(service._compiled_by_bucket)
+
+    def wrap(b, fn):
+        def inner(x, lengths):
+            used.append(b)
+            return fn(x, lengths)
+        return inner
+
+    service._compiled_by_bucket = {b: wrap(b, f) for b, f in orig.items()}
+    try:
+        rng = np.random.RandomState(7)
+        # a lone request -> B=1 bucket
+        lone = service.score(rng.randn(5, F).astype(np.float32), timeout=30)
+        assert used and used[-1] == 1
+
+        # a concurrent burst of 4 -> B=4 (or a pair of 2s, depending on
+        # wave packing) — never more than the wave needs
+        slates = [rng.randn(n, F).astype(np.float32) for n in (3, 8, 1, 5)]
+        futs = [service.submit(s) for s in slates]
+        got = [f.result(timeout=30) for f in futs]
+
+        scorer = make_scorer(params, mdef, "float32")
+        for s, g in zip([rng.randn(5, F).astype(np.float32)] * 0 + slates, got):
+            xb = np.zeros((1, L, F), dtype=np.float32)
+            xb[0, : len(s)] = s
+            ref = np.asarray(
+                scorer(xb, np.asarray([len(s)], dtype=np.int32)))[0, : len(s)]
+            np.testing.assert_allclose(g, ref, rtol=1e-5, atol=1e-5)
+        assert len(lone) == 5
+    finally:
+        service.close()
+
+
+def test_bucket_validation():
+    mdef, params = _model()
+    import pytest
+
+    with pytest.raises(ValueError, match="largest bucket"):
+        SlateScoringService(params, mdef, L, F, batch_size=4,
+                            batch_buckets=(1, 8))

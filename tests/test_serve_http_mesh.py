@@ -124,3 +124,35 @@ def test_indivisible_batch_rejected():
     mdef, params = _model()
     with pytest.raises(ValueError, match="not divisible"):
         SlateScoringService(params, mdef, L, F, batch_size=6, mesh=mesh)
+
+
+def test_sharded_service_with_batch_buckets():
+    """Bucketed waves on the mesh: every bucket must divide the data axis;
+    a lone request runs the B=8 program, a burst the B=16 one, and values
+    match the direct scorer either way."""
+    mdef, params = _model()
+    mesh = make_mesh(ParallelConfig(data=8))
+    service = SlateScoringService(params, mdef, L, F, batch_size=16,
+                                  max_wait_ms=30, compute_dtype="float32",
+                                  mesh=mesh, batch_buckets=(8, 16))
+    try:
+        rng = np.random.RandomState(11)
+        slates = [rng.randn(n, F).astype(np.float32)
+                  for n in (3, 8, 1, 5, 7, 2, 6, 4, 8, 3, 1, 2)]
+        futs = [service.submit(s) for s in slates]
+        got = [f.result(timeout=60) for f in futs]
+        scorer = make_scorer(params, mdef, "float32")
+        for s, g in zip(slates, got):
+            xb = np.zeros((1, L, F), dtype=np.float32)
+            xb[0, : len(s)] = s
+            ref = np.asarray(
+                scorer(xb, np.asarray([len(s)], dtype=np.int32)))[0, : len(s)]
+            np.testing.assert_allclose(g, ref, rtol=1e-5, atol=1e-5)
+    finally:
+        service.close()
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not divisible"):
+        SlateScoringService(params, mdef, L, F, batch_size=16, mesh=mesh,
+                            batch_buckets=(4, 16))
