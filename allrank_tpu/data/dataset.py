@@ -61,8 +61,11 @@ def parse_svmlight_cached(path) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     re-parse, and the OS pages the feature matrix lazily instead of the
     host holding a second multi-GB dense copy. The cache invalidates when
     the source file changes; write failures (read-only dataset dirs)
-    degrade silently to a plain parse. No reference analog (the reference
-    re-parses the text file every run —
+    degrade silently to a plain parse. Concurrent writers (multi-host
+    training on a shared filesystem) are safe: every process writes
+    identical content from the same source and publishes via atomic
+    ``os.replace``, with the meta stamp written last. No reference analog
+    (the reference re-parses the text file every run —
     reference: allrank/data/dataset_loading.py:118-129)."""
     import json
 
