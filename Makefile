@@ -3,7 +3,7 @@
 CXX ?= g++
 CXXFLAGS ?= -O3 -std=c++17 -shared -fPIC -pthread -Wall
 
-.PHONY: all native tests lint ci clean
+.PHONY: all native tests lint ci clean docs
 
 all: native
 
@@ -30,6 +30,9 @@ lint:
 
 wheel:
 	pip wheel --no-deps --no-build-isolation -w dist/ .
+
+docs:
+	python tools/gen_api_docs.py
 
 ci: native lint tests
 
