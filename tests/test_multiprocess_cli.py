@@ -98,9 +98,12 @@ def _prepare_shared(work):
             "transformer": None,
             "post_model": {"d_output": 1, "output_activation": None},
         },
+        # binary_cache on: both cluster processes race to write the .npy
+        # sidecars on the shared filesystem — atomic-replace publication
+        # must keep every process's loads correct (multi-writer safety)
         "data": {"path": str(work / "data"), "num_workers": 0,
                  "batch_size": 4, "slate_length": 8,
-                 "validation_ds_role": "vali"},
+                 "validation_ds_role": "vali", "binary_cache": True},
         "optimizer": {"name": "Adam", "args": {"lr": 1e-2}},
         "lr_scheduler": {"name": "StepLR", "args": {"step_size": 10,
                                                     "gamma": 0.1}},
