@@ -12,7 +12,12 @@ analog — the reference has no serving story):
     way production rankers do.
   * ``run_server`` / ``python -m allrank_tpu.serve_http`` — a threaded HTTP
     endpoint: ``POST /score`` with ``{"slate": [[f...], ...]}`` returns
-    ``{"scores": [...]}``; ``GET /healthz`` for probes.
+    ``{"scores": [...]}``; ``GET /healthz`` for probes; ``GET /statz`` for
+    operational counters (requests, waves per bucket, rejections, queue
+    depth, wave-latency quantiles).
+  * backpressure: ``max_queue`` bounds the pending-request queue — past it
+    ``submit`` raises ``ServiceOverloaded`` and the HTTP front answers 503
+    (load-shed at admission, the way production rankers protect p99s).
 
 The device call is AOT-compiled at startup (serving.aot_compile), so the
 first request pays no trace/compile stall.
@@ -29,6 +34,10 @@ from typing import Optional
 import numpy as np
 
 
+class ServiceOverloaded(RuntimeError):
+    """Raised by ``submit`` when the pending queue is at ``max_queue``."""
+
+
 class SlateScoringService:
     """Thread-safe dynamic batcher over a compiled scorer.
 
@@ -40,7 +49,7 @@ class SlateScoringService:
     def __init__(self, params, mdef, slate_length: int, n_features: int,
                  batch_size: int = 64, max_wait_ms: float = 5.0,
                  compute_dtype: str = "bfloat16", mesh=None,
-                 batch_buckets=None):
+                 batch_buckets=None, max_queue: Optional[int] = None):
         """``batch_buckets`` (e.g. ``(1, 8, 64)``) compiles one executable
         per bucket and routes each wave to the smallest bucket that fits —
         a 1-request wave at low QPS costs a B=1 program, not a padded
@@ -98,10 +107,37 @@ class SlateScoringService:
             if len(self.buckets) > 1:
                 self.executable_info = dict(self.executable_info or {},
                                             buckets=self.buckets)
-        self._queue: "queue.Queue" = queue.Queue()
+        self._queue: "queue.Queue" = queue.Queue(
+            maxsize=int(max_queue) if max_queue else 0)
         self._stop = threading.Event()
+        self._stats_lock = threading.Lock()
+        self._stats = {
+            "requests_total": 0,
+            "rejected_total": 0,
+            "waves_total": 0,
+            "waves_by_bucket": {int(b): 0 for b in self.buckets},
+            "wave_errors_total": 0,
+        }
+        self._wave_ms: list = []  # ring buffer of recent wave latencies
         self._worker = threading.Thread(target=self._loop, daemon=True)
         self._worker.start()
+
+    def stats(self) -> dict:
+        """Operational counters + recent wave-latency quantiles (served at
+        ``GET /statz``)."""
+        with self._stats_lock:
+            out = dict(self._stats)
+            out["waves_by_bucket"] = dict(self._stats["waves_by_bucket"])
+            lat = np.asarray(self._wave_ms, dtype=np.float64)
+        out["queue_depth"] = self._queue.qsize()
+        if lat.size:
+            out["wave_ms"] = {
+                "p50": round(float(np.percentile(lat, 50)), 3),
+                "p90": round(float(np.percentile(lat, 90)), 3),
+                "p99": round(float(np.percentile(lat, 99)), 3),
+                "n": int(lat.size),
+            }
+        return out
 
     def submit(self, x: np.ndarray) -> Future:
         if self._stop.is_set():
@@ -117,7 +153,15 @@ class SlateScoringService:
         if x.shape[0] == 0:
             raise ValueError("empty slate")
         fut: Future = Future()
-        self._queue.put((x, fut))
+        try:
+            self._queue.put_nowait((x, fut))
+        except queue.Full:
+            with self._stats_lock:
+                self._stats["rejected_total"] += 1
+            raise ServiceOverloaded(
+                f"pending queue at capacity ({self._queue.maxsize})")
+        with self._stats_lock:
+            self._stats["requests_total"] += 1
         return fut
 
     def score(self, x: np.ndarray, timeout: Optional[float] = None):
@@ -173,11 +217,22 @@ class SlateScoringService:
                 n = x.shape[0]
                 xb[i, :n] = x
                 lengths[i] = n
+            import time
+
+            t0 = time.perf_counter()
             try:
                 scores = np.asarray(self._compiled_by_bucket[B](xb, lengths))
                 for i, (x, fut) in enumerate(wave):
                     fut.set_result(scores[i, : x.shape[0]].copy())
+                with self._stats_lock:
+                    self._stats["waves_total"] += 1
+                    self._stats["waves_by_bucket"][B] += 1
+                    self._wave_ms.append((time.perf_counter() - t0) * 1e3)
+                    if len(self._wave_ms) > 1024:
+                        del self._wave_ms[:512]
             except Exception as exc:  # device failure -> fail the wave
+                with self._stats_lock:
+                    self._stats["wave_errors_total"] += 1
                 for _, fut in wave:
                     if not fut.done():
                         fut.set_exception(exc)
@@ -205,6 +260,8 @@ def run_server(service: SlateScoringService, port: int, host: str = ""):
                 self._reply(200, {"status": "ok",
                                   "slate_length": service.slate_length,
                                   "n_features": service.n_features})
+            elif self.path == "/statz":
+                self._reply(200, service.stats())
             else:
                 self._reply(404, {"error": "not found"})
 
@@ -248,6 +305,14 @@ def run_server(service: SlateScoringService, port: int, host: str = ""):
                 self._reply(400, {"error": str(exc)})
             except FutureTimeout:
                 self._reply(503, {"error": "scoring timed out"})
+            except ServiceOverloaded as exc:  # load-shed at admission
+                self.send_response_only(503)
+                self.send_header("Retry-After", "1")
+                body = json.dumps({"error": str(exc)}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             except RuntimeError as exc:  # service closed mid-request
                 self._reply(503, {"error": str(exc)})
 
@@ -283,6 +348,9 @@ def main() -> None:
                     help="comma-separated wave buckets, e.g. 1,8,64 — one "
                          "compiled executable per bucket; the largest must "
                          "equal --batch-size")
+    ap.add_argument("--max-queue", type=int, default=None,
+                    help="bound the pending-request queue; past it requests "
+                         "are rejected with 503 (load-shedding)")
     ap.add_argument("--max-wait-ms", type=float, default=5.0)
     ap.add_argument("--compute-dtype", default="bfloat16",
                     choices=["float32", "bfloat16", "int8"],
@@ -299,6 +367,7 @@ def main() -> None:
         compute_dtype=args.compute_dtype,
         batch_buckets=([int(b) for b in args.batch_buckets.split(",")]
                        if args.batch_buckets else None),
+        max_queue=args.max_queue,
     )
     logger = get_logger()
     logger.info("scoring service on :%d (batch %d, wait %.1f ms, %s): %s",

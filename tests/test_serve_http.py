@@ -262,3 +262,43 @@ def test_bucket_validation():
     with pytest.raises(ValueError, match="largest bucket"):
         SlateScoringService(params, mdef, L, F, batch_size=4,
                             batch_buckets=(1, 8))
+
+
+def test_overload_rejection_and_statz():
+    import urllib.request as _rq
+
+    from allrank_tpu.serve_http import ServiceOverloaded
+
+    mdef, params = _model()
+    service = SlateScoringService(params, mdef, L, F, batch_size=2,
+                                  max_wait_ms=200, compute_dtype="float32",
+                                  max_queue=2)
+    server = run_server(service, 0, host="127.0.0.1")
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    port = server.server_address[1]
+    try:
+        rng = np.random.RandomState(3)
+        # fill the queue faster than the worker drains it (max_wait_ms is
+        # long, so the first wave holds the worker while we stuff the queue)
+        futs, rejected = [], 0
+        for _ in range(24):
+            try:
+                futs.append(service.submit(
+                    rng.randn(3, F).astype(np.float32)))
+            except ServiceOverloaded:
+                rejected += 1
+        assert rejected > 0  # bounded queue actually sheds load
+        for f in futs:
+            assert len(f.result(timeout=60)) == 3  # admitted ones succeed
+
+        stats = json.loads(_rq.urlopen(
+            f"http://127.0.0.1:{port}/statz", timeout=30).read())
+        assert stats["requests_total"] == len(futs)
+        assert stats["rejected_total"] == rejected
+        assert stats["waves_total"] >= 1
+        assert sum(stats["waves_by_bucket"].values()) == stats["waves_total"]
+        assert "wave_ms" in stats and stats["wave_ms"]["n"] >= 1
+    finally:
+        server.shutdown()
+        service.close()
