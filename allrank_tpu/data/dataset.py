@@ -110,9 +110,32 @@ class SlateDataset:
     def __init__(self, X: np.ndarray, y: np.ndarray, query_ids: np.ndarray):
         X = np.asarray(X, dtype=np.float32)
         y = np.asarray(y, dtype=np.float32)
+        query_ids = np.asarray(query_ids)
 
         # group rows by qid preserving first-appearance order
-        _, first_idx, counts = np.unique(query_ids, return_index=True, return_counts=True)
+        _, first_idx, inverse, counts = np.unique(
+            query_ids, return_index=True, return_inverse=True,
+            return_counts=True)
+
+        # the boundary-split grouping below assumes each qid's rows are
+        # contiguous (true for every standard LTR file). A non-contiguous
+        # file would be grouped SILENTLY WRONG by a cumsum split — the
+        # reference has exactly this failure mode
+        # (allrank/data/dataset_loading.py:109-113: np.split on cumsum
+        # counts) — so detect it cheaply and regroup correctly instead.
+        n_blocks = (1 + int(np.count_nonzero(query_ids[1:] != query_ids[:-1]))
+                    if len(query_ids) else 0)
+        if n_blocks != len(counts):
+            logger.warning(
+                "query ids are NOT contiguous (%d row blocks for %d unique "
+                "qids) — regrouping rows by first qid appearance; the "
+                "reference implementation silently scrambles slates on "
+                "such files", n_blocks, len(counts))
+            row_order = np.argsort(first_idx[inverse], kind="stable")
+            X = X[row_order]
+            y = y[row_order]
+            query_ids = query_ids[row_order]
+
         order = np.argsort(first_idx)
         boundaries = np.cumsum(counts[order])[:-1]
 

@@ -22,6 +22,7 @@ MODULES = [
         "allrank_tpu.data.feature_store",
         "allrank_tpu.data.saving",
         "allrank_tpu.data.dummy",
+        "allrank_tpu.data.validate",
     ]),
     ("Models", [
         "allrank_tpu.models.factory",
@@ -66,6 +67,8 @@ CLIS = [
      "dynamic-batching HTTP scoring service"),
     ("python -m allrank_tpu.data.dummy", "allrank_tpu.data.dummy",
      "generate a dummy svmlight dataset"),
+    ("python -m allrank_tpu.data.validate", "allrank_tpu.data.validate",
+     "pre-flight dataset checks (NaN/Inf, dim mismatch, qid contiguity, label sanity)"),
 ]
 
 
