@@ -18,6 +18,7 @@ import os
 import sys
 import threading
 import time
+import urllib.error
 import urllib.request
 from concurrent.futures import ThreadPoolExecutor
 
@@ -39,6 +40,10 @@ def main():
                    help="serve through make_sharded_scorer over the full mesh")
     p.add_argument("--binary", action="store_true",
                    help="npy octet-stream bodies instead of JSON")
+    p.add_argument("--batch-buckets", default=None,
+                   help="comma-separated wave buckets, e.g. 1,8,64")
+    p.add_argument("--max-queue", type=int, default=None,
+                   help="bounded pending queue (overflow -> 503 load-shed)")
     args = p.parse_args()
 
     import jax
@@ -63,6 +68,9 @@ def main():
         params, mdef, args.slate_length, args.features,
         batch_size=args.batch, max_wait_ms=args.wait_ms,
         compute_dtype=args.dtype, mesh=mesh,
+        batch_buckets=([int(b) for b in args.batch_buckets.split(",")]
+                       if args.batch_buckets else None),
+        max_queue=args.max_queue,
     )
     server = run_server(service, port=0, host="127.0.0.1")
     port = server.server_address[1]
@@ -89,13 +97,21 @@ def main():
         for _ in range(min(64, args.requests))
     ]
 
+    shed = [0]
+
     def post(i):
         req = urllib.request.Request(
             f"http://127.0.0.1:{port}/score", data=bodies[i % len(bodies)],
             headers={"Content-Type": ctype})
         t0 = time.perf_counter()
-        with urllib.request.urlopen(req, timeout=120) as r:
-            r.read()
+        try:
+            with urllib.request.urlopen(req, timeout=120) as r:
+                r.read()
+        except urllib.error.HTTPError as exc:
+            if exc.code == 503:  # admission load-shed under --max-queue
+                shed[0] += 1
+                return np.nan
+            raise
         return (time.perf_counter() - t0) * 1e3
 
     # warmup wave
@@ -108,7 +124,14 @@ def main():
     wall = time.perf_counter() - t0
 
     lat = np.asarray(lat)
+    lat = lat[np.isfinite(lat)]
+    stats = json.loads(urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/statz", timeout=30).read())
     report = {
+        "shed_503": shed[0],
+        "statz": {k: stats[k] for k in
+                  ("waves_total", "waves_by_bucket", "rejected_total")
+                  if k in stats},
         "requests": args.requests,
         "clients": args.clients,
         "batch_size": args.batch,
