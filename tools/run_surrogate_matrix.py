@@ -47,6 +47,8 @@ def patch_config(path: str, data_dir: str, epochs: int) -> dict:
     # flat features resident in HBM; steps are fed [B, L] gather indices —
     # ~60x epoch time on tunneled chips (see BENCHMARKS.md)
     cfg["data"]["device_cache"] = True
+    # parse-once sidecars: config 2..N load the multi-GB splits via mmap
+    cfg["data"]["binary_cache"] = True
     cfg["training"]["epochs"] = epochs
     # tunneled-chip economics: amortize per-batch dispatch latency
     # (lax.scan over 8 stacked batches; value-identical, tested by
