@@ -80,8 +80,7 @@ class DeviceFeatureStore:
             )
             table = table.astype(np_dtype)
         data_size = int(mesh.shape.get("data", 1)) if mesh is not None else 1
-        self.sharding = "sharded" if (sharding == "sharded" and data_size > 1) \
-            else "replicated"
+        self.sharding = effective_sharding(sharding, mesh)
         self.mesh = mesh
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -103,6 +102,16 @@ class DeviceFeatureStore:
             self.table = jax.device_put(table)
         self.sentinel = int(flat_X.shape[0])
         self.gather = make_table_gather(mesh, self.sharding)
+
+
+def effective_sharding(sharding: str, mesh) -> str:
+    """The store's ONE downgrade rule: a "sharded" request on a mesh whose
+    data axis is 1 (or no mesh) is served replicated. Callers that build a
+    gather before constructing the store (evaluate.py) must use this so
+    their gather cannot diverge from the table's actual placement."""
+    data_size = int(mesh.shape.get("data", 1)) if mesh is not None else 1
+    return "sharded" if (sharding == "sharded" and data_size > 1) \
+        else "replicated"
 
 
 def make_table_gather(mesh, sharding: str):

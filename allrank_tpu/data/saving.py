@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import os
 from typing import Iterable
 
 import numpy as np
@@ -42,16 +43,20 @@ def write_to_libsvm_without_masked(
         # base pinning (same rule as the native writer): a zero-based dump
         # with column 0 entirely zero would auto-detect as one-based on
         # re-read, shifting every column. Insert one explicit `0:0` after
-        # the first row's qid token to disambiguate.
-        with open(path) as f:
-            lines = f.readlines()
-        for i, line in enumerate(lines):
-            if line.strip() and not line.lstrip().startswith("#"):
-                toks = line.split()
-                qpos = next(j for j, t in enumerate(toks)
-                            if t.startswith("qid:"))
-                toks.insert(qpos + 1, "0:0")
-                lines[i] = " ".join(toks) + "\n"
-                break
-        with open(path, "w") as f:
-            f.writelines(lines)
+        # the first row's qid token to disambiguate. Streamed (modify the
+        # first data line, copy the rest) — these dumps reach multi-GB.
+        import shutil as _shutil
+
+        tmp = path + ".pin.tmp"
+        with open(path) as src, open(tmp, "w") as dst:
+            for line in src:
+                if line.strip() and not line.lstrip().startswith("#"):
+                    toks = line.split()
+                    qpos = next(j for j, t in enumerate(toks)
+                                if t.startswith("qid:"))
+                    toks.insert(qpos + 1, "0:0")
+                    dst.write(" ".join(toks) + "\n")
+                    break
+                dst.write(line)
+            _shutil.copyfileobj(src, dst, length=1 << 20)
+        os.replace(tmp, path)

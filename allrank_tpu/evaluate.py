@@ -137,12 +137,14 @@ def run(args: Namespace = None) -> dict:
     device_cache = bool(getattr(config.data, "device_cache", False))
     table_gather = None
     if device_cache:
-        from allrank_tpu.data.feature_store import make_table_gather
+        from allrank_tpu.data.feature_store import (
+            effective_sharding,
+            make_table_gather,
+        )
 
-        store_sharding = getattr(config.data, "device_cache_sharding",
-                                 "replicated")
-        if store_sharding == "sharded" and mesh.shape["data"] == 1:
-            store_sharding = "replicated"
+        store_sharding = effective_sharding(
+            getattr(config.data, "device_cache_sharding", "replicated"),
+            mesh)
         table_gather = make_table_gather(mesh, store_sharding)
     eval_step = make_eval_fns(
         mdef, loss_fn, config.loss.args, needs_rng, config.metrics,

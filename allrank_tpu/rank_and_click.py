@@ -82,7 +82,9 @@ def run(args: Namespace = None) -> dict:
 
     config = Config.from_json(paths.config_path)
     logger.info("Config: %s", pformat(config))
-    shutil.copy2(paths.config_path, os.path.join(paths.output_dir, "used_config.json"))
+    if is_main_process:  # coordinator-only artifact write, like the others
+        shutil.copy2(paths.config_path,
+                     os.path.join(paths.output_dir, "used_config.json"))
 
     datasets = {
         role: load_dataset_role(

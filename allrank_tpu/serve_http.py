@@ -107,8 +107,12 @@ class SlateScoringService:
             if len(self.buckets) > 1:
                 self.executable_info = dict(self.executable_info or {},
                                             buckets=self.buckets)
+        if max_queue is not None and int(max_queue) <= 0:
+            # queue.Queue treats maxsize<=0 as UNBOUNDED — the opposite of
+            # what an operator bounding the queue at 0 means; refuse loudly
+            raise ValueError(f"max_queue must be positive, got {max_queue}")
         self._queue: "queue.Queue" = queue.Queue(
-            maxsize=int(max_queue) if max_queue else 0)
+            maxsize=int(max_queue) if max_queue is not None else 0)
         self._stop = threading.Event()
         self._stats_lock = threading.Lock()
         self._stats = {
@@ -300,8 +304,10 @@ def run_server(service: SlateScoringService, port: int, host: str = ""):
                 slate = np.asarray(req["slate"], dtype=np.float32)
                 scores = service.score(slate, timeout=30.0)
                 self._reply(200, {"scores": [float(s) for s in scores]})
-            except (KeyError, TypeError, ValueError,
+            except (KeyError, TypeError, ValueError, EOFError, OSError,
                     json.JSONDecodeError) as exc:
+                # EOFError/OSError: np.load on an empty/truncated
+                # octet-stream body — a malformed request, not a crash
                 self._reply(400, {"error": str(exc)})
             except FutureTimeout:
                 self._reply(503, {"error": "scoring timed out"})

@@ -129,7 +129,20 @@ class CosineAnnealingWarmRestarts(LRScheduler):
         else:
             n = int(math.log(epoch / self.T_0 * (self.T_mult - 1) + 1,
                              self.T_mult))
-            t_cur = epoch - self.T_0 * (self.T_mult**n - 1) // (self.T_mult - 1)
+
+            # float-log truncation guard: at exact restart boundaries the log
+            # can land just below an integer (e.g. T_0=1, T_mult=3, epoch=121
+            # -> log = 4.999...; int() gives 4 and the lr collapses to
+            # eta_min instead of restarting at base_lr). Repair n with exact
+            # integer arithmetic: gsum(n) <= epoch < gsum(n + 1).
+            def gsum(k: int) -> int:
+                return self.T_0 * (self.T_mult**k - 1) // (self.T_mult - 1)
+
+            while n > 0 and gsum(n) > epoch:
+                n -= 1
+            while gsum(n + 1) <= epoch:
+                n += 1
+            t_cur = epoch - gsum(n)
             t_i = self.T_0 * self.T_mult**n
         return self.eta_min + (self.base_lr - self.eta_min) * (
             1 + math.cos(math.pi * t_cur / t_i)

@@ -23,7 +23,6 @@ from allrank_tpu.config import (
 )
 from allrank_tpu.constants import NEG_INF_FILL
 from allrank_tpu.models.factory import init_params, make_model, score
-from allrank_tpu.models.positional import fixed_positional_table
 
 ACTS = {"ReLU": lambda x: np.maximum(x, 0.0),
         "Tanh": np.tanh,

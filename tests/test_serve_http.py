@@ -302,3 +302,28 @@ def test_overload_rejection_and_statz():
     finally:
         server.shutdown()
         service.close()
+
+
+def test_malformed_binary_body_gets_400_and_zero_max_queue_rejected():
+    mdef, params = _model()
+    import pytest
+
+    with pytest.raises(ValueError, match="max_queue"):
+        SlateScoringService(params, mdef, L, F, batch_size=2, max_queue=0)
+
+    service = SlateScoringService(params, mdef, L, F, batch_size=2,
+                                  max_wait_ms=5, compute_dtype="float32")
+    server = run_server(service, 0, host="127.0.0.1")
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    port = server.server_address[1]
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/score", data=b"",
+            headers={"Content-Type": "application/octet-stream"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(req, timeout=30)
+        assert e.value.code == 400  # empty npy body -> 400, not a dead socket
+    finally:
+        server.shutdown()
+        service.close()

@@ -145,3 +145,27 @@ def test_lambda_lr_expression_cannot_reach_builtins():
         make_scheduler(
             "LambdaLR", {"lr_lambda": "__import__('os').getpid()"}, base_lr=1.0
         )
+
+
+def test_warm_restarts_exact_at_deep_restart_boundaries():
+    """Regression: the closed-form epoch->lr used int(math.log(...)), which
+    truncates at exact restart boundaries where the float log lands just
+    below an integer (T_0=1, T_mult=3, epoch 121 -> log=4.999...), turning
+    the restart peak base_lr into eta_min. The integer-arithmetic repair
+    must match torch's per-epoch stepping across hundreds of epochs."""
+    import torch
+
+    from allrank_tpu.training.schedulers import CosineAnnealingWarmRestarts
+
+    for T_0, T_mult, span in ((1, 3, 400), (2, 3, 730), (3, 5, 500)):
+        ours = CosineAnnealingWarmRestarts(base_lr=1.0, T_0=T_0,
+                                           T_mult=T_mult)
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=1.0)
+        ref = torch.optim.lr_scheduler.CosineAnnealingWarmRestarts(
+            opt, T_0=T_0, T_mult=T_mult)
+        for epoch in range(span):
+            assert abs(ours._lr_at(epoch) - ref.get_last_lr()[0]) < 1e-12, \
+                (T_0, T_mult, epoch)
+            opt.step()
+            ref.step()
