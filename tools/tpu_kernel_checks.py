@@ -495,6 +495,45 @@ def check_encoder_seed_grid() -> None:
           f"mean={mean:.4f} base={base:.4f} sem={sem:.3g}")
 
 
+def check_int8_scorer() -> None:
+    """The w8a8 quantized scorer on hardware (int8 MXU matmuls + the
+    kernel-routed bf16 attention core) must track the fp32 scorer at the
+    flagship serve shape — regression guard for the opt-in serving mode."""
+    import numpy as onp
+
+    from allrank_tpu.config import (FCConfig, ModelConfig,
+                                    PositionalEncodingConfig,
+                                    PostModelConfig, TransformerConfig)
+    from allrank_tpu.models.factory import init_params, make_model
+    from allrank_tpu.serving import make_scorer
+
+    L, F = 240, 136
+    mdef = make_model(ModelConfig(
+        fc_model=FCConfig(sizes=[128], input_norm=True, activation="ReLU",
+                          dropout=None),
+        transformer=TransformerConfig(
+            N=4, d_ff=512, h=4, dropout=0.0,
+            positional_encoding=PositionalEncodingConfig(
+                strategy="fixed", max_indices=L + 1)),
+        post_model=PostModelConfig(d_output=1)), F)
+    params = init_params(jax.random.PRNGKey(0), mdef)
+    rng = onp.random.RandomState(0)
+    x = rng.randn(64, L, F).astype(onp.float32)
+    lengths = rng.randint(L // 2, L + 1, size=64).astype(onp.int32)
+    ref = onp.asarray(make_scorer(params, mdef)(x, lengths))
+    got = onp.asarray(make_scorer(params, mdef, quantize="int8")(x, lengths))
+    same_pad = bool(onp.array_equal(onp.isneginf(got), onp.isneginf(ref)))
+    fin = onp.isfinite(ref)
+    corr = float(onp.corrcoef(ref[fin], got[fin])[0, 1])
+    # top-1 agreement per slate (what serving cares about)
+    top_match = float(onp.mean(onp.argmax(got, axis=1)
+                               == onp.argmax(ref, axis=1)))
+    check("int8 scorer tracks fp32 on hardware",
+          same_pad and corr > 0.998 and top_match > 0.9,
+          f"corr={corr:.5f} top1={top_match:.2f}")
+
+
+
 def main() -> int:
     print("device:", jax.devices()[0], "backend:", jax.default_backend())
     if jax.default_backend() != "tpu":
@@ -509,6 +548,7 @@ def main() -> int:
     check_tiled_dropout_grads()
     check_mega_sublayers()
     check_encoder_seed_grid()
+    check_int8_scorer()
     if FAILURES:
         print("FAILURES:", FAILURES)
         return 1
