@@ -66,7 +66,10 @@ def parse_svmlight_cached(path) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     identical content from the same source and publishes via atomic
     ``os.replace``, with the meta stamp written last. No reference analog
     (the reference re-parses the text file every run —
-    reference: allrank/data/dataset_loading.py:118-129)."""
+    reference: allrank/data/dataset_loading.py:118-129).
+
+    The returned X is READ-ONLY on both paths (mmap on hits, pinned
+    ndarray on misses) — copy before mutating."""
     import json
 
     meta_p, x_p, y_p, q_p = _cache_paths(path)
@@ -101,6 +104,10 @@ def parse_svmlight_cached(path) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     except OSError as exc:
         logger.warning("dataset cache write failed (%s); continuing uncached",
                        exc)
+    # contract: X is read-only on BOTH paths (cache hits hand out a
+    # read-only mmap; pin the miss path to match so a future mutation
+    # fails identically regardless of cache state)
+    x.flags.writeable = False
     return x, y, qids
 
 

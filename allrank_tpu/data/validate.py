@@ -54,8 +54,7 @@ def validate_role(path: str, slate_length: int | None):
     if not np.all(np.isfinite(y)):
         errors.append("NaN/Inf labels")
 
-    uniq, first_idx, counts = np.unique(qids, return_index=True,
-                                        return_counts=True)
+    uniq, counts = np.unique(qids, return_counts=True)
     n_blocks = 1 + int(np.count_nonzero(qids[1:] != qids[:-1]))
     if n_blocks != len(uniq):
         warnings.append(
@@ -85,12 +84,17 @@ def validate_role(path: str, slate_length: int | None):
     if dead:
         warnings.append(f"{dead} all-zero feature columns")
 
+    # label range over REAL labels: -1.0 is the padding convention and is
+    # reported separately (padding warning above), not as label_min
+    real = y[y != -1.0]
     summary = {
         "rows": int(len(y)), "slates": int(len(uniq)),
         "features": int(X.shape[1]),
         "slate_len_min": int(counts.min()), "slate_len_max": int(counts.max()),
         "slate_len_mean": round(float(counts.mean()), 1),
-        "label_min": float(y.min()), "label_max": float(y.max()),
+        "label_min": float(real.min()) if real.size else -1.0,
+        "label_max": float(real.max()) if real.size else -1.0,
+        "padded_rows": int(len(y) - real.size),
     }
     return summary, errors, warnings
 

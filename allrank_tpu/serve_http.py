@@ -99,14 +99,18 @@ class SlateScoringService:
         else:
             scorer = make_scorer(params, mdef, compute_dtype,
                                  quantize=quantize)
+            infos = {}
             for b in self.buckets:
                 compiled, info = aot_compile(
                     scorer, b, self.slate_length, self.n_features)
                 self._compiled_by_bucket[b] = compiled
-                self.executable_info = info
-            if len(self.buckets) > 1:
-                self.executable_info = dict(self.executable_info or {},
-                                            buckets=self.buckets)
+                infos[b] = info
+            if len(self.buckets) == 1:
+                self.executable_info = infos[self.buckets[0]]
+            else:
+                # keep every bucket's compile analysis, not just the last's
+                self.executable_info = {"buckets": self.buckets,
+                                        "per_bucket": infos}
         if max_queue is not None and int(max_queue) <= 0:
             # queue.Queue treats maxsize<=0 as UNBOUNDED — the opposite of
             # what an operator bounding the queue at 0 means; refuse loudly
@@ -259,6 +263,16 @@ def run_server(service: SlateScoringService, port: int, host: str = ""):
             self.end_headers()
             self.wfile.write(body)
 
+        def _safe_reply(self, code: int, payload: dict) -> None:
+            # a client that disconnected mid-reply raises
+            # BrokenPipeError/ConnectionResetError (OSError subclasses);
+            # there is no socket left to answer on — drop, never attempt
+            # a second write to the dead connection
+            try:
+                self._reply(code, payload)
+            except OSError:
+                self.close_connection = True
+
         def do_GET(self):
             if self.path == "/healthz":
                 self._reply(200, {"status": "ok",
@@ -271,25 +285,63 @@ def run_server(service: SlateScoringService, port: int, host: str = ""):
 
         def do_POST(self):
             if self.path != "/score":
-                self._reply(404, {"error": "not found"})
+                self._safe_reply(404, {"error": "not found"})
                 return
             from concurrent.futures import TimeoutError as FutureTimeout
+            import io
 
+            # -- parse: the OSError/EOFError catch covers ONLY the body
+            #    read+decode, where they mean a truncated/empty upload (a
+            #    client error -> 400). Socket errors while WRITING replies
+            #    are handled in _safe_reply and never masquerade as 400s.
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 body = self.rfile.read(length)
                 ctype = (self.headers.get("Content-Type") or "").split(";")[0]
-                if ctype == "application/octet-stream":
+                binary = ctype == "application/octet-stream"
+                if binary:
                     # binary fast path: an .npy [n_docs, F] float32 payload.
                     # At production slate sizes a JSON body is 100s of KB
                     # and json.loads dominates end-to-end latency (measured
                     # 5x throughput JSON->npy, tools/bench_serve_http.py);
                     # allow_pickle=False keeps it data-only.
-                    import io
+                    slate = np.asarray(
+                        np.load(io.BytesIO(body), allow_pickle=False),
+                        dtype=np.float32)
+                else:
+                    slate = np.asarray(json.loads(body)["slate"],
+                                       dtype=np.float32)
+            except (KeyError, TypeError, ValueError, EOFError, OSError,
+                    json.JSONDecodeError) as exc:
+                self._safe_reply(400, {"error": str(exc)})
+                return
 
-                    slate = np.load(io.BytesIO(body), allow_pickle=False)
-                    slate = np.asarray(slate, dtype=np.float32)
-                    scores = service.score(slate, timeout=30.0)
+            try:
+                scores = service.score(slate, timeout=30.0)
+            except ValueError as exc:  # shape/empty-slate validation
+                self._safe_reply(400, {"error": str(exc)})
+                return
+            except FutureTimeout:
+                self._safe_reply(503, {"error": "scoring timed out"})
+                return
+            except ServiceOverloaded as exc:  # load-shed at admission
+                try:
+                    self.send_response_only(503)
+                    self.send_header("Retry-After", "1")
+                    body = json.dumps({"error": str(exc)}).encode()
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                except OSError:
+                    self.close_connection = True
+                return
+            except RuntimeError as exc:  # service closed mid-request
+                self._safe_reply(503, {"error": str(exc)})
+                return
+
+            try:
+                if binary:
                     out = io.BytesIO()
                     np.save(out, np.asarray(scores, dtype=np.float32))
                     raw = out.getvalue()
@@ -299,28 +351,10 @@ def run_server(service: SlateScoringService, port: int, host: str = ""):
                     self.send_header("Content-Length", str(len(raw)))
                     self.end_headers()
                     self.wfile.write(raw)
-                    return
-                req = json.loads(body)
-                slate = np.asarray(req["slate"], dtype=np.float32)
-                scores = service.score(slate, timeout=30.0)
-                self._reply(200, {"scores": [float(s) for s in scores]})
-            except (KeyError, TypeError, ValueError, EOFError, OSError,
-                    json.JSONDecodeError) as exc:
-                # EOFError/OSError: np.load on an empty/truncated
-                # octet-stream body — a malformed request, not a crash
-                self._reply(400, {"error": str(exc)})
-            except FutureTimeout:
-                self._reply(503, {"error": "scoring timed out"})
-            except ServiceOverloaded as exc:  # load-shed at admission
-                self.send_response_only(503)
-                self.send_header("Retry-After", "1")
-                body = json.dumps({"error": str(exc)}).encode()
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
-            except RuntimeError as exc:  # service closed mid-request
-                self._reply(503, {"error": str(exc)})
+                else:
+                    self._reply(200, {"scores": [float(s) for s in scores]})
+            except OSError:
+                self.close_connection = True  # client gone mid-reply
 
     class Server(ThreadingHTTPServer):
         # production hardening (found by tools/bench_serve_http.py): the

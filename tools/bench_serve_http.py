@@ -140,17 +140,23 @@ def main():
         "mesh": dict(mesh.shape) if mesh is not None else None,
         "payload": "npy" if args.binary else "json",
         "throughput_slates_per_s": round(args.requests / wall, 1),
-        "latency_ms": {
+    }
+    if lat.size:
+        report["latency_ms"] = {
             "p50": round(float(np.percentile(lat, 50)), 2),
             "p90": round(float(np.percentile(lat, 90)), 2),
             "p99": round(float(np.percentile(lat, 99)), 2),
             "max": round(float(lat.max()), 2),
-        },
-        "histogram_ms": {
+        }
+        report["histogram_ms"] = {
             f"<{edge}": int((lat < edge).sum())
             for edge in (2, 5, 10, 20, 50, 100, 250, 1000)
-        },
-    }
+        }
+    else:
+        # total overload: every request was shed with 503 — that IS the
+        # --max-queue benchmark result, not a crash
+        report["latency_ms"] = None
+        report["note"] = "all requests load-shed (503); no latency sample"
     print(json.dumps(report))
     server.shutdown()
     service.close()
