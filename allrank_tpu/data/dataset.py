@@ -88,6 +88,30 @@ def parse_svmlight_cached(path) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     except (OSError, ValueError):
         pass
 
+    # memmap-direct first parse: the C++ fill pass writes X straight into a
+    # writable np.memmap over the future .npy sidecar, so even the FIRST
+    # touch of a larger-than-RAM corpus never materializes the dense [N, F]
+    # in host RAM (dirty pages are the OS's to write back/evict). Falls
+    # back to the in-RAM parse when the native lib or a writable cache dir
+    # is unavailable.
+    direct = _parse_direct_to_memmap(path, x_p)
+    if direct is not None:
+        x, y, qids = direct
+        try:
+            for p, arr in ((y_p, y), (q_p, qids)):
+                tmp = p + ".tmp"
+                with open(tmp, "wb") as f:
+                    np.save(f, arr)
+                os.replace(tmp, p)
+            with open(meta_p + ".tmp", "w") as f:
+                json.dump(stamp, f)
+            os.replace(meta_p + ".tmp", meta_p)
+            logger.info("wrote dataset cache %s (memmap-direct parse)", x_p)
+        except OSError as exc:
+            logger.warning("dataset cache meta write failed (%s); cache "
+                           "will miss next run", exc)
+        return x, y, qids
+
     x, y, qids = parse_svmlight(path)
     try:
         # atomic-ish: data files first, meta stamp last (a partial write
@@ -109,6 +133,50 @@ def parse_svmlight_cached(path) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     # fails identically regardless of cache state)
     x.flags.writeable = False
     return x, y, qids
+
+
+def _parse_direct_to_memmap(path, x_p: str):
+    """Native parse of ``path`` with X filled directly into the ``.npy``
+    sidecar at ``x_p`` via a writable memmap; returns (X read-only mmap, y,
+    qids) or None to fall back (no native lib / unwritable cache dir /
+    parse error). Publishes via atomic ``os.replace`` like the in-RAM
+    writer, so concurrent writers and crash-partial files stay safe."""
+    from allrank_tpu.data.native import parse_svmlight_native
+
+    tmp = x_p + ".tmp"
+    state: dict = {}
+
+    def alloc(n_rows: int, n_features: int) -> np.ndarray:
+        state["x"] = np.lib.format.open_memmap(
+            tmp, mode="w+", dtype=np.float32, shape=(n_rows, n_features))
+        return state["x"]
+
+    try:
+        res = parse_svmlight_native(path, x_alloc=alloc)
+    except OSError as exc:  # open_memmap failed (read-only dataset dir)
+        logger.info("memmap-direct parse unavailable (%s)", exc)
+        res = None
+    if res is None or "x" not in state:
+        if "x" in state:
+            del state["x"]
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+        return None
+    _, y, qids = res
+    xm = state.pop("x")
+    xm.flush()
+    del xm  # close the writable map before publishing
+    try:
+        os.replace(tmp, x_p)
+    except OSError:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        return None
+    return np.load(x_p, mmap_mode="r"), y, qids
 
 
 class SlateDataset:

@@ -118,9 +118,16 @@ def _load():
 
 
 def parse_svmlight_native(
-    path: str,
+    path: str, x_alloc=None,
 ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """Parse with the C++ extension; None if unavailable (caller falls back)."""
+    """Parse with the C++ extension; None if unavailable (caller falls back).
+
+    ``x_alloc(n_rows, n_features)`` optionally supplies the zero-initialized
+    C-contiguous float32 [N, F] buffer the fill pass writes into — the
+    binary cache passes a writable ``np.memmap`` over the future ``.npy``
+    sidecar so a >RAM corpus parses without the dense matrix ever existing
+    in host RAM (the reference densifies in RAM unconditionally —
+    reference: allrank/data/dataset_loading.py:118-133)."""
     lib = _load()
     if lib is None or not os.path.exists(path):
         return None
@@ -133,7 +140,10 @@ def parse_svmlight_native(
     if rc != 0:
         return None
 
-    X = np.zeros((n_rows.value, n_features.value), dtype=np.float32)
+    if x_alloc is None:
+        X = np.zeros((n_rows.value, n_features.value), dtype=np.float32)
+    else:
+        X = x_alloc(n_rows.value, n_features.value)
     y = np.zeros((n_rows.value,), dtype=np.float32)
     qids = np.zeros((n_rows.value,), dtype=np.int64)
     rc = lib.parse_svmlight_fill(

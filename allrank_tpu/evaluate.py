@@ -65,10 +65,18 @@ def parse_args() -> Namespace:
     parser.add_argument("--roles", required=True, type=split_as_strings,
                         help="Comma-separated dataset roles to evaluate")
     parser.add_argument("--quantize", default=None,
-                        choices=["int8"],
+                        choices=["int8", "int8_static"],
                         help="evaluate the checkpoint through the w8a8 int8 "
                              "tower (quant.py) — measures the serving-time "
-                             "quantization quality delta offline")
+                             "quantization quality delta offline. "
+                             "'int8_static' runs a calibration pass first "
+                             "(static activation scales, the production "
+                             "serving mode) and writes act_scales.json")
+    parser.add_argument("--calibration-role", default="train",
+                        help="dataset role the int8_static calibration "
+                             "batches are drawn from")
+    parser.add_argument("--calibration-batches", type=int, default=8,
+                        help="number of batches for int8_static calibration")
     return parser.parse_args()
 
 
@@ -111,12 +119,36 @@ def run(args: Namespace = None) -> dict:
 
     quantize = getattr(args, "quantize", None)
     forward_fn = None
-    if quantize == "int8":
+    if quantize in ("int8", "int8_static"):
         from allrank_tpu.quant import quantize_model, quantized_forward
 
-        params = quantize_model(params, mdef)
+        act_scales = None
+        if quantize == "int8_static":
+            from allrank_tpu.quant import (calibrate_activations,
+                                           calibration_batches_from_dataset)
+
+            calib_role = getattr(args, "calibration_role", "train")
+            if calib_role in datasets:
+                calib_ds = datasets[calib_role][0]
+            else:
+                calib_ds = load_dataset_role(
+                    calib_role, config.data.path, config.data.slate_length,
+                    binary_cache=getattr(config.data, "binary_cache",
+                                         False))[0]
+            batches = calibration_batches_from_dataset(
+                calib_ds, config.data.slate_length, config.data.batch_size,
+                getattr(args, "calibration_batches", 8))
+            act_scales = calibrate_activations(params, mdef, batches)
+            logger.info("calibrated %d activation sites on %d '%s' batches",
+                        len(act_scales), len(batches), calib_role)
+            if is_main_process:
+                with open(os.path.join(paths.output_dir,
+                                       "act_scales.json"), "w") as f:
+                    json.dump(act_scales, f, indent=1)
+        params = quantize_model(params, mdef, act_scales=act_scales)
         forward_fn = lambda p, x, m, i: quantized_forward(p, mdef, x, m, i)  # noqa: E731
-        logger.info("evaluating through the int8 w8a8 quantized tower")
+        logger.info("evaluating through the %s w8a8 quantized tower",
+                    quantize)
     elif quantize is not None:
         raise ValueError(f"unknown quantize mode '{quantize}'")
 

@@ -1,20 +1,29 @@
-"""Post-training int8 quantization for the serving path (w8a8, dynamic).
+"""Post-training int8 quantization for the serving path (w8a8).
 
 The reference has no quantization story at all (torch fp32 end-to-end);
 this is a beyond-reference production-serving feature designed for the
 TPU's native int8 MXU rate (2x the bf16 peak on v5e-class chips).
 
-Scheme — the standard dynamic w8a8 recipe:
-  * weights: symmetric per-output-channel int8
-    (``w_q[i, j] = round(w[i, j] / s_j)``, ``s_j = max_i |w[i, j]| / 127``),
-    quantized ONCE at model-load time;
-  * activations: symmetric per-row (per document) int8 with the scale
-    computed on the fly from the row's absmax — no calibration data needed,
-    and slate inputs with wildly different feature magnitudes each get
-    their own scale;
-  * matmul: ``int8 x int8 -> int32`` on the MXU
-    (``preferred_element_type=int32``), dequantized by the rank-1 outer
-    product of row and column scales, bias added in fp32.
+Two activation-quantization modes share the int8-weight scheme:
+
+  * **dynamic** (``quantize="int8"``): per-row (per document) activation
+    scales computed on the fly from each row's absmax — no calibration
+    data needed. Round-4 measurement showed the per-row absmax reduce +
+    rank-1 dequant outer product cost more VPU time than the int8 MXU
+    rate returns (BENCHMARKS.md "honest non-win").
+  * **static** (``quantize="int8_static"``): per-tensor activation scales
+    measured ONCE by a calibration pass (``calibrate_activations`` runs N
+    representative batches through the fp32 tower and records each matmul
+    input's absmax). At serve time the quantize step is a constant
+    multiply+round+clip (no reduction), and the dequant collapses to a
+    single precomputed ``[d_out]`` column scale (``x_scale * w_scale``)
+    that XLA fuses into the matmul epilogue with the bias add — the
+    per-row VPU chain the dynamic mode pays is gone.
+
+Weight scheme (both modes): symmetric per-output-channel int8
+(``w_q[i, j] = round(w[i, j] / s_j)``, ``s_j = max_i |w[i, j]| / 127``),
+quantized ONCE at model-load time; matmuls run ``int8 x int8 -> int32``
+on the MXU (``preferred_element_type=int32``).
 
 What stays in float: LayerNorms, softmax/attention probabilities, positional
 encodings, residual adds, activations between layers (quantization error
@@ -23,7 +32,7 @@ fp32 activation), and biases. Only the six matmul families carry int8:
 FC-tower layers, fused QKV, attention out-projection, FFN up/down, and the
 output head.
 
-Eval-only by design: this path serves ``make_scorer(quantize="int8")``;
+Eval-only by design: this path serves ``make_scorer(quantize=...)``;
 training keeps full precision.
 """
 
@@ -60,9 +69,23 @@ def quantize_dense(dense_params: dict) -> dict:
 
 
 def q_dense_apply(qp: dict, x: jnp.ndarray) -> jnp.ndarray:
-    """``x @ w + b`` with dynamically int8-quantized ``x`` and pre-quantized
-    ``w``; returns fp32. ``x``: [..., d_in] float."""
+    """``x @ w + b`` with int8-quantized ``x`` and pre-quantized ``w``;
+    returns fp32. ``x``: [..., d_in] float.
+
+    Static mode (``"x_inv_scale"`` present, from ``quantize_model_static``):
+    the activation quantize is a constant scalar multiply + round/clip (no
+    per-row reduction) and dequant+bias is one fused ``[d_out]`` epilogue.
+    Dynamic mode otherwise: per-row absmax scale, rank-1 dequant."""
     x = x.astype(F32)
+    if "x_inv_scale" in qp:  # static (calibrated) activation scale
+        x_q = jnp.clip(jnp.round(x * qp["x_inv_scale"]),
+                       -_QMAX, _QMAX).astype(I8)
+        acc = jax.lax.dot_general(
+            x_q, qp["w_q"],
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=I32,
+        )
+        return acc.astype(F32) * qp["out_scale"] + qp["b"]
     xs = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), _TINY) / _QMAX
     x_q = jnp.clip(jnp.round(x / xs), -_QMAX, _QMAX).astype(I8)
     acc = jax.lax.dot_general(
@@ -73,22 +96,44 @@ def q_dense_apply(qp: dict, x: jnp.ndarray) -> jnp.ndarray:
     return acc.astype(F32) * xs * qp["w_scale"] + qp["b"]
 
 
-def quantize_model(params: dict, mdef: LTRModelDef) -> dict:
+def quantize_model(params: dict, mdef: LTRModelDef,
+                   act_scales: dict | None = None) -> dict:
     """Quantize every matmul weight in an LTR model's param tree; float
-    parameters (LayerNorms, PE tables, biases) pass through unchanged."""
+    parameters (LayerNorms, PE tables, biases) pass through unchanged.
+
+    With ``act_scales`` (a site -> activation-absmax dict from
+    ``calibrate_activations``) each dense additionally carries a static
+    per-tensor activation scale: ``x_inv_scale`` (the serve-time quantize
+    multiplier) and ``out_scale = x_scale * w_scale`` (the fused dequant
+    epilogue column scale) — q_dense_apply then takes the static path."""
+
+    def qd(site: str, p: dict) -> dict:
+        qp = quantize_dense(p)
+        if act_scales is not None:
+            if site not in act_scales:
+                raise KeyError(
+                    f"calibration has no activation scale for site '{site}' "
+                    f"(have: {sorted(act_scales)}) — calibrate with the same "
+                    "model definition")
+            s_x = max(float(act_scales[site]), _TINY) / _QMAX
+            qp["x_inv_scale"] = jnp.asarray(1.0 / s_x, dtype=F32)
+            qp["out_scale"] = (s_x * qp["w_scale"]).astype(F32)
+        return qp
+
     q: dict = {}
     if mdef.fc:
-        q["fc"] = {"layers": [quantize_dense(p) for p in params["fc"]["layers"]]}
+        q["fc"] = {"layers": [qd(f"fc/{i}", p)
+                              for i, p in enumerate(params["fc"]["layers"])]}
         if mdef.fc.input_norm:
             q["fc"]["input_norm"] = params["fc"]["input_norm"]
     if mdef.transformer:
         layers = []
-        for lp in params["transformer"]["layers"]:
+        for i, lp in enumerate(params["transformer"]["layers"]):
             layers.append({
-                "qkv": quantize_dense(lp["qkv"]),
-                "out": quantize_dense(lp["out"]),
-                "ff1": quantize_dense(lp["ff1"]),
-                "ff2": quantize_dense(lp["ff2"]),
+                "qkv": qd(f"t{i}/qkv", lp["qkv"]),
+                "out": qd(f"t{i}/out", lp["out"]),
+                "ff1": qd(f"t{i}/ff1", lp["ff1"]),
+                "ff2": qd(f"t{i}/ff2", lp["ff2"]),
                 "ln1": lp["ln1"],
                 "ln2": lp["ln2"],
             })
@@ -96,8 +141,66 @@ def quantize_model(params: dict, mdef: LTRModelDef) -> dict:
                             "final_ln": params["transformer"]["final_ln"]}
         if "pe" in params["transformer"]:
             q["transformer"]["pe"] = params["transformer"]["pe"]
-    q["output"] = quantize_dense(params["output"])
+    q["output"] = qd("output", params["output"])
     return q
+
+
+def calibrate_activations(params, mdef: LTRModelDef, batches) -> dict:
+    """Calibration pass for static activation scales: run representative
+    ``(x [B, L, F], lengths [B])`` batches through the **fp32** tower and
+    record, per quantized-matmul site, the running absmax of that matmul's
+    input activation. Returns ``{site: absmax}`` (python floats — JSON
+    serializable, so a service can persist its calibration next to the
+    checkpoint). Feed the result to ``quantize_model(..., act_scales=...)``.
+
+    Uses serve-time semantics: padding mask from ``lengths``, rank index 1
+    (serving.py), eval mode. Calibrate on batches drawn from the traffic
+    you will serve — the train split works (quality gates pinned by
+    tests/test_quant.py)."""
+
+    def capture_dense(site: str, p: dict, xin: jnp.ndarray) -> jnp.ndarray:
+        cap[site] = jnp.maximum(cap.get(site, jnp.zeros((), F32)),
+                                jnp.max(jnp.abs(xin)).astype(F32))
+        return xin.astype(F32) @ p["w"] + p["b"]
+
+    @jax.jit
+    def one_batch(x, lengths):
+        positions = jnp.arange(x.shape[1], dtype=jnp.int32)[None, :]
+        mask = positions >= lengths[:, None].astype(jnp.int32)
+        indices = jnp.ones(x.shape[:2], dtype=jnp.int32)
+        quantized_forward(params, mdef, x, mask, indices,
+                          dense_fn=capture_dense)
+        return cap
+
+    out: dict = {}
+    for x, lengths in batches:
+        cap = {}
+        got = jax.device_get(one_batch(jnp.asarray(x, dtype=F32),
+                                       jnp.asarray(lengths, dtype=jnp.int32)))
+        for site, v in got.items():
+            out[site] = max(out.get(site, 0.0), float(v))
+    return out
+
+
+def calibration_batches_from_dataset(ds, slate_length: int,
+                                     batch_size: int = 64,
+                                     n_batches: int = 8):
+    """First ``n_batches`` serve-style ``(x, lengths)`` calibration batches
+    from a SlateDataset (deterministic order, no shuffle) — the bridge from
+    the data layer to ``calibrate_activations`` used by the evaluate and
+    serve CLIs."""
+    from allrank_tpu.constants import PADDED_Y_VALUE
+    from allrank_tpu.data.batching import SlateBatcher
+
+    out = []
+    for batch in SlateBatcher(ds, slate_length, batch_size, shuffle=False):
+        lengths = (batch.y != PADDED_Y_VALUE).sum(axis=1).astype("int32")
+        # batch-padding dummy slates have zero real docs; serve-time lengths
+        # are >= 1, so clamp (their all-zero features barely move absmax)
+        out.append((batch.x, lengths.clip(min=1)))
+        if len(out) >= n_batches:
+            break
+    return out
 
 
 def quantized_bytes(qparams: dict) -> int:
@@ -106,7 +209,12 @@ def quantized_bytes(qparams: dict) -> int:
                for leaf in jax.tree.leaves(qparams))
 
 
-def _q_attention(lp: dict, tdef, x, key_mask):
+def _default_dense(site: str, p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    return q_dense_apply(p, x)
+
+
+def _q_attention(lp: dict, tdef, x, key_mask, dense_fn=_default_dense,
+                 site: str = "t"):
     """Eval-mode multi-head attention with int8 QKV / out projections. The
     attention core (scores, softmax, context) is activation-activation —
     there is no weight to pre-quantize — so it runs in float: through the
@@ -118,7 +226,7 @@ def _q_attention(lp: dict, tdef, x, key_mask):
 
     b, l, d = x.shape
     h, d_k = tdef.h, tdef.d_model // tdef.h
-    qkv = q_dense_apply(lp["qkv"], x)  # [B, L, 3d] f32
+    qkv = dense_fn(site + "/qkv", lp["qkv"], x)  # [B, L, 3d] f32
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(b, l, h, d_k)
     k = k.reshape(b, l, h, d_k)
@@ -134,29 +242,32 @@ def _q_attention(lp: dict, tdef, x, key_mask):
             key_mask, jnp.zeros((), dtype=jnp.int32), 0.0,
         )
         ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, d).astype(F32)
-        return q_dense_apply(lp["out"], ctx)
+        return dense_fn(site + "/out", lp["out"], ctx)
 
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(d_k)
     scores = jnp.where(key_mask[:, None, None, :], NEG_INF_FILL, scores)
     probs = jax.nn.softmax(scores, axis=-1)
     ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, l, d)
-    return q_dense_apply(lp["out"], ctx)
+    return dense_fn(site + "/out", lp["out"], ctx)
 
 
 def quantized_forward(qparams: dict, mdef: LTRModelDef, x: jnp.ndarray,
-                      mask: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
+                      mask: jnp.ndarray, indices: jnp.ndarray,
+                      dense_fn=_default_dense) -> jnp.ndarray:
     """Eval-mode full model through the quantized tower: [B, L, d_output]
     squeezed to [B, L] when d_output == 1 — mirrors models/factory.py
     ``forward`` (train=False) with every dense matmul routed through
-    ``q_dense_apply``."""
+    ``dense_fn(site, layer_params, x)`` (default: ``q_dense_apply``; the
+    calibration pass substitutes a float matmul that records each site's
+    activation absmax)."""
     x = x.astype(F32)
     if mdef.fc:
         fcp = qparams["fc"]
         if mdef.fc.input_norm:
             x = layer_norm_apply(fcp["input_norm"], x)
         act = get_activation(mdef.fc.activation)
-        for layer in fcp["layers"]:
-            x = act(q_dense_apply(layer, x))
+        for i, layer in enumerate(fcp["layers"]):
+            x = act(dense_fn(f"fc/{i}", layer, x))
     if mdef.transformer:
         tdef = mdef.transformer
         tp = qparams["transformer"]
@@ -164,13 +275,15 @@ def quantized_forward(qparams: dict, mdef: LTRModelDef, x: jnp.ndarray,
             x = fixed_pe_apply(tp["pe"], x, mask, indices)
         elif tdef.positional_encoding == "learned":
             x = learned_pe_apply(tp["pe"], x, mask, indices)
-        for lp in tp["layers"]:
+        for i, lp in enumerate(tp["layers"]):
             normed = std_layer_norm_apply(lp["ln1"], x)
-            x = x + _q_attention(lp, tdef, normed, mask)
+            x = x + _q_attention(lp, tdef, normed, mask, dense_fn, f"t{i}")
             normed = std_layer_norm_apply(lp["ln2"], x)
-            x = x + q_dense_apply(lp["ff2"], jax.nn.relu(q_dense_apply(lp["ff1"], normed)))
+            x = x + dense_fn(
+                f"t{i}/ff2", lp["ff2"],
+                jax.nn.relu(dense_fn(f"t{i}/ff1", lp["ff1"], normed)))
         x = std_layer_norm_apply(tp["final_ln"], x)
-    out = q_dense_apply(qparams["output"], x)
+    out = dense_fn("output", qparams["output"], x)
     if mdef.output.d_output == 1:
         out = jnp.squeeze(out, axis=2)
     return get_activation(mdef.output.output_activation)(out)

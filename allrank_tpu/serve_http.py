@@ -49,7 +49,8 @@ class SlateScoringService:
     def __init__(self, params, mdef, slate_length: int, n_features: int,
                  batch_size: int = 64, max_wait_ms: float = 5.0,
                  compute_dtype: str = "bfloat16", mesh=None,
-                 batch_buckets=None, max_queue: Optional[int] = None):
+                 batch_buckets=None, max_queue: Optional[int] = None,
+                 act_scales: Optional[dict] = None):
         """``batch_buckets`` (e.g. ``(1, 8, 64)``) compiles one executable
         per bucket and routes each wave to the smallest bucket that fits —
         a 1-request wave at low QPS costs a B=1 program, not a padded
@@ -69,9 +70,11 @@ class SlateScoringService:
             self.buckets = (int(batch_size),)
         self.batch_size = int(batch_size)
         self.max_wait_s = float(max_wait_ms) / 1e3
-        # "int8" as a compute_dtype serves the w8a8 quantized tower
-        # (quant.py) — the CLI flag works end-to-end without a second knob
-        quantize = "int8" if compute_dtype == "int8" else None
+        # "int8"/"int8_static" as a compute_dtype serves the w8a8 quantized
+        # tower (quant.py) — the CLI flag works end-to-end without a second
+        # knob; int8_static needs act_scales (calibrate_activations)
+        quantize = (compute_dtype
+                    if compute_dtype in ("int8", "int8_static") else None)
         if quantize:
             compute_dtype = "float32"
         self._compiled_by_bucket = {}
@@ -86,7 +89,8 @@ class SlateScoringService:
                         f"batch bucket {b} not divisible by the "
                         f"mesh data axis {mesh.shape['data']}")
             sharded = make_sharded_scorer(params, mdef, mesh, compute_dtype,
-                                          quantize=quantize)
+                                          quantize=quantize,
+                                          act_scales=act_scales)
             for b in self.buckets:
                 sharded(
                     np.zeros((b, self.slate_length, self.n_features),
@@ -98,7 +102,7 @@ class SlateScoringService:
                                     "buckets": self.buckets}
         else:
             scorer = make_scorer(params, mdef, compute_dtype,
-                                 quantize=quantize)
+                                 quantize=quantize, act_scales=act_scales)
             infos = {}
             for b in self.buckets:
                 compiled, info = aot_compile(
@@ -393,14 +397,39 @@ def main() -> None:
                          "are rejected with 503 (load-shedding)")
     ap.add_argument("--max-wait-ms", type=float, default=5.0)
     ap.add_argument("--compute-dtype", default="bfloat16",
-                    choices=["float32", "bfloat16", "int8"],
-                    help="int8 serves the w8a8 quantized tower (quant.py)")
+                    choices=["float32", "bfloat16", "int8", "int8_static"],
+                    help="int8 serves the w8a8 quantized tower (quant.py); "
+                         "int8_static uses calibrated static activation "
+                         "scales (--act-scales, or calibrates on the "
+                         "config's train split at startup)")
+    ap.add_argument("--act-scales", default=None,
+                    help="path to an act_scales.json calibration (written "
+                         "by `evaluate --quantize int8_static`); when "
+                         "omitted with int8_static, calibrates at startup")
+    ap.add_argument("--calibration-batches", type=int, default=8)
     args = ap.parse_args()
 
     config = Config.from_json(args.config_file_name)
     mdef = make_model(config.model, args.n_features)
     params = load_params(init_params(jax.random.PRNGKey(42), mdef),
                          args.input_model_path)
+    act_scales = None
+    if args.compute_dtype == "int8_static":
+        if args.act_scales:
+            with open(args.act_scales) as f:
+                act_scales = json.load(f)
+        else:
+            from allrank_tpu.data.dataset import load_dataset_role
+            from allrank_tpu.quant import (calibrate_activations,
+                                           calibration_batches_from_dataset)
+
+            ds, _ = load_dataset_role("train", config.data.path,
+                                      config.data.slate_length)
+            act_scales = calibrate_activations(
+                params, mdef,
+                calibration_batches_from_dataset(
+                    ds, config.data.slate_length, args.batch_size,
+                    args.calibration_batches))
     service = SlateScoringService(
         params, mdef, config.data.slate_length, args.n_features,
         batch_size=args.batch_size, max_wait_ms=args.max_wait_ms,
@@ -408,6 +437,7 @@ def main() -> None:
         batch_buckets=([int(b) for b in args.batch_buckets.split(",")]
                        if args.batch_buckets else None),
         max_queue=args.max_queue,
+        act_scales=act_scales,
     )
     logger = get_logger()
     logger.info("scoring service on :%d (batch %d, wait %.1f ms, %s): %s",

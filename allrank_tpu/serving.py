@@ -43,21 +43,35 @@ def _mask_from_lengths(lengths: jnp.ndarray, slate_length: int) -> jnp.ndarray:
     return positions >= lengths[:, None].astype(jnp.int32)
 
 
+def _check_quantize(quantize, act_scales):
+    if quantize not in ("int8", "int8_static"):
+        raise ValueError(f"unknown quantize mode '{quantize}' "
+                         "(supported: 'int8', 'int8_static')")
+    if quantize == "int8_static" and act_scales is None:
+        raise ValueError(
+            "quantize='int8_static' needs act_scales from "
+            "quant.calibrate_activations (run N representative batches "
+            "through the fp32 tower first)")
+
+
 def make_scorer(params, mdef: LTRModelDef, compute_dtype="float32",
-                quantize=None):
+                quantize=None, act_scales=None):
     """Jitted ``(x [B, L, F], lengths [B]) -> scores [B, L]``; padded
     positions score -inf (sort-last under any downstream ordering).
 
     ``quantize="int8"`` runs every tower matmul as dynamic w8a8 int8 on the
     MXU (see quant.py) — weights are quantized once here; ``compute_dtype``
-    is ignored on that path (LN/softmax stay fp32 by design)."""
+    is ignored on that path (LN/softmax stay fp32 by design).
+    ``quantize="int8_static"`` additionally needs ``act_scales`` (a
+    calibration from ``quant.calibrate_activations``) and serves the
+    static-activation-scale tower: no per-row quant/dequant chain."""
     if quantize is not None:
-        if quantize != "int8":
-            raise ValueError(f"unknown quantize mode '{quantize}' "
-                             "(supported: 'int8')")
+        _check_quantize(quantize, act_scales)
         from allrank_tpu.quant import quantize_model, quantized_score
 
-        qparams = quantize_model(params, mdef)
+        qparams = quantize_model(
+            params, mdef,
+            act_scales=act_scales if quantize == "int8_static" else None)
 
         @jax.jit
         def q_scorer(x, lengths):
@@ -82,10 +96,11 @@ def make_scorer(params, mdef: LTRModelDef, compute_dtype="float32",
 
 
 def make_ranker(params, mdef: LTRModelDef, compute_dtype="float32",
-                quantize=None):
+                quantize=None, act_scales=None):
     """Jitted ``(x, lengths) -> order [B, L]``: document indices in
     descending score order, padded positions last."""
-    scorer = make_scorer(params, mdef, compute_dtype, quantize=quantize)
+    scorer = make_scorer(params, mdef, compute_dtype, quantize=quantize,
+                         act_scales=act_scales)
 
     @jax.jit
     def ranker(x, lengths):
@@ -96,7 +111,8 @@ def make_ranker(params, mdef: LTRModelDef, compute_dtype="float32",
 
 
 def make_sharded_scorer(params, mdef: LTRModelDef, mesh,
-                        compute_dtype="float32", quantize=None):
+                        compute_dtype="float32", quantize=None,
+                        act_scales=None):
     """Pod-scale serving: ``(x, lengths) -> scores`` jitted over a device
     mesh — the batch is sharded across the ``data`` axis and params are
     replicated over ``data`` (tensor-sharded over ``model`` when the mesh
@@ -116,12 +132,12 @@ def make_sharded_scorer(params, mdef: LTRModelDef, mesh,
 
     dtype = jnp.dtype(compute_dtype)
     if quantize is not None:
-        if quantize != "int8":
-            raise ValueError(f"unknown quantize mode '{quantize}' "
-                             "(supported: 'int8')")
+        _check_quantize(quantize, act_scales)
         from allrank_tpu.quant import quantize_model, quantized_score
 
-        q = quantize_model(params, mdef)
+        q = quantize_model(
+            params, mdef,
+            act_scales=act_scales if quantize == "int8_static" else None)
         p_shard = jax.tree.map(lambda _: NamedSharding(mesh, P()), q)
         params_on_mesh = jax.device_put(q, p_shard)
     else:
@@ -188,14 +204,18 @@ def aot_compile(fn, batch_size: int, slate_length: int, n_features: int):
 
 def export_scorer(params, mdef: LTRModelDef, slate_length: int,
                   n_features: int, path: str, batch_size: int = 64,
-                  compute_dtype="float32", quantize=None) -> str:
+                  compute_dtype="float32", quantize=None,
+                  act_scales=None) -> str:
     """Serialize the scorer (weights baked in) to a portable StableHLO
     artifact at ``path``. Shapes are fixed at export: [batch_size,
     slate_length, n_features] inputs. ``quantize="int8"`` bakes the w8a8
-    tower in — the artifact carries int8 weights (4x smaller)."""
+    tower in — the artifact carries int8 weights (4x smaller);
+    ``"int8_static"`` additionally bakes the calibrated activation
+    scales (``act_scales``) in."""
     from jax import export as jexport
 
-    scorer = make_scorer(params, mdef, compute_dtype, quantize=quantize)
+    scorer = make_scorer(params, mdef, compute_dtype, quantize=quantize,
+                         act_scales=act_scales)
     exported = jexport.export(scorer)(
         jax.ShapeDtypeStruct((batch_size, slate_length, n_features),
                              jnp.float32),

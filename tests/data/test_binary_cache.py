@@ -45,6 +45,54 @@ def test_cache_roundtrip_bitwise_and_mmap(data_file, monkeypatch):
         np.testing.assert_array_equal(a, b)
 
 
+def test_first_parse_is_memmap_direct_when_native_available(data_file):
+    """The FIRST parse (cache miss) fills X straight into the .npy sidecar
+    via a writable memmap — the dense [N, F] never exists in host RAM —
+    and returns a read-only mmap bitwise-equal to the in-RAM parse."""
+    from allrank_tpu.data.native import _load
+
+    if _load() is None:
+        pytest.skip("native parser unavailable")
+    ref = parse_svmlight(data_file)
+    x, y, q = parse_svmlight_cached(data_file)  # miss -> direct path
+    assert isinstance(x, np.memmap)
+    assert not x.flags.writeable
+    for a, b in zip((x, y, q), ref):
+        np.testing.assert_array_equal(a, b)
+    # the sidecar it mapped is the published cache file (no .tmp left)
+    meta_p, x_p, _, _ = _cache_paths(data_file)
+    assert os.path.exists(x_p) and os.path.exists(meta_p)
+    assert not os.path.exists(x_p + ".tmp")
+    # and the warm load maps the same bytes
+    x2, _, _ = parse_svmlight_cached(data_file)
+    np.testing.assert_array_equal(x2, ref[0])
+
+
+def test_memmap_direct_fill_failure_cleans_up_tmp(data_file, monkeypatch):
+    from allrank_tpu.data import native as native_mod
+
+    def fail_after_alloc(path, x_alloc=None):
+        if x_alloc is not None:
+            x_alloc(4, 3)  # allocate the tmp sidecar, then "fail"
+        return None
+
+    monkeypatch.setattr(native_mod, "parse_svmlight_native", fail_after_alloc)
+    got = parse_svmlight_cached(data_file)  # falls back to the in-RAM path
+    ref = parse_svmlight(data_file)
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(a, b)
+    assert not os.path.exists(_cache_paths(data_file)[1] + ".tmp")
+
+
+def test_read_only_contract_on_both_paths(data_file):
+    x_miss, _, _ = parse_svmlight_cached(data_file)
+    assert not x_miss.flags.writeable
+    x_hit, _, _ = parse_svmlight_cached(data_file)
+    assert not x_hit.flags.writeable
+    with pytest.raises(ValueError):
+        x_hit[0, 0] = 1.0
+
+
 def test_cache_invalidates_when_source_changes(data_file):
     parse_svmlight_cached(data_file)
     with open(data_file, "a") as f:

@@ -127,3 +127,17 @@ def test_evaluate_int8_quantized_tracks_fp32(tmp_path):
         assert int8["vali"][k] == pytest.approx(fp32["vali"][k], rel=0.02), k
     out = os.path.join(job, "results", "e8", "evaluation_result.json")
     assert "vali/ndcg_5" in json.load(open(out))
+
+    # int8_static: calibrates on the train role, writes act_scales.json,
+    # and must land within the same 2% band (the production serving mode)
+    st = evaluate(Namespace(job_dir=job, run_id="e8s",
+                            config_file_name=cfg_path,
+                            input_model_path=model, roles=["vali"],
+                            quantize="int8_static",
+                            calibration_role="train",
+                            calibration_batches=4))
+    for k in ("ndcg_5", "mrr_5", "map_5"):
+        assert st["vali"][k] == pytest.approx(fp32["vali"][k], rel=0.02), k
+    scales = json.load(open(os.path.join(job, "results", "e8s",
+                                         "act_scales.json")))
+    assert scales and all(v > 0 for v in scales.values())

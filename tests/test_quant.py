@@ -19,6 +19,7 @@ from allrank_tpu.constants import PADDED_Y_VALUE
 from allrank_tpu.metrics import ndcg
 from allrank_tpu.models.factory import init_params, make_model, score
 from allrank_tpu.quant import (
+    calibrate_activations,
     q_dense_apply,
     quantize_dense,
     quantize_model,
@@ -166,6 +167,120 @@ def test_quantized_bytes_is_4x_smaller_on_matmul_weights():
     q = quantize_model(params, mdef)
     fp32_bytes = sum(p.size * 4 for p in jax.tree.leaves(params))
     assert quantized_bytes(q) < 0.35 * fp32_bytes
+
+
+def _calib_batches(F=8, n=3, seed=20):
+    rng = np.random.RandomState(seed)
+    return [(rng.randn(6, 10, F).astype(np.float32),
+             rng.randint(1, 11, size=6).astype(np.int32)) for _ in range(n)]
+
+
+def test_calibration_covers_every_quantized_site():
+    mdef, params = _full_model(seed=13)
+    scales = calibrate_activations(params, mdef, _calib_batches())
+    # fc tower (2 layers) + 2 transformer blocks x 4 matmuls + output head
+    expected = {"fc/0", "fc/1", "output"} | {
+        f"t{i}/{m}" for i in range(2) for m in ("qkv", "out", "ff1", "ff2")}
+    assert set(scales) == expected
+    assert all(v > 0.0 for v in scales.values())
+    # running absmax: calibrating on a superset can only grow scales
+    more = calibrate_activations(
+        params, mdef, _calib_batches() + _calib_batches(seed=21))
+    assert all(more[k] >= scales[k] for k in scales)
+
+
+def test_static_int8_scorer_quality_and_masking():
+    mdef, params = _full_model(seed=14)
+    scales = calibrate_activations(params, mdef, _calib_batches(seed=22))
+    s32 = make_scorer(params, mdef)
+    s8 = make_scorer(params, mdef, quantize="int8_static", act_scales=scales)
+    rng = np.random.RandomState(15)
+    x = jnp.asarray(rng.randn(6, 10, 8).astype(np.float32))
+    lengths = jnp.asarray([10, 7, 3, 10, 1, 5], dtype=jnp.int32)
+    ref = np.asarray(s32(x, lengths))
+    got = np.asarray(s8(x, lengths))
+    np.testing.assert_array_equal(np.isneginf(got), np.isneginf(ref))
+    m = np.isfinite(ref)
+    assert np.corrcoef(ref[m], got[m])[0, 1] > 0.999
+    # top-1 preservation per slate (the serving-quality gate)
+    refm = np.where(m, ref, -np.inf)
+    gotm = np.where(m, got, -np.inf)
+    assert (refm.argmax(1) == gotm.argmax(1)).mean() >= 5 / 6
+
+
+def test_static_int8_dequant_is_fused_column_scale():
+    # the static path must not contain a per-row reduction: an input with a
+    # single huge outlier row still quantizes every other row with the SAME
+    # (calibrated) scale — unlike dynamic, where the outlier only affects
+    # its own row. Verify by checking the static quantize grid directly.
+    rng = np.random.RandomState(16)
+    w = rng.randn(8, 4).astype(np.float32)
+    b = np.zeros(4, dtype=np.float32)
+    qp = quantize_dense({"w": jnp.asarray(w), "b": jnp.asarray(b)})
+    s_x = 2.0 / 127.0
+    qp["x_inv_scale"] = jnp.asarray(1.0 / s_x, dtype=jnp.float32)
+    qp["out_scale"] = (s_x * qp["w_scale"]).astype(jnp.float32)
+    x = np.full((3, 8), 0.5, dtype=np.float32)
+    x[0] *= 100.0  # outlier row: static mode CLIPS it to the calibrated max
+    got = np.asarray(q_dense_apply(qp, jnp.asarray(x)))
+    # non-outlier rows: quantized on the static grid, close to fp32
+    ref = x[1:] @ (np.round(w / np.asarray(qp["w_scale"]))
+                   * np.asarray(qp["w_scale"]))
+    np.testing.assert_allclose(got[1:], ref, rtol=5e-2, atol=5e-2)
+    # outlier row saturates at 127 * s_x = the calibration absmax
+    sat = (np.full(8, 2.0, dtype=np.float32)
+           @ (np.round(w / np.asarray(qp["w_scale"]))
+              * np.asarray(qp["w_scale"])))
+    np.testing.assert_allclose(got[0], sat, rtol=5e-2, atol=5e-2)
+
+
+def test_static_int8_sharded_scorer_matches_single_device():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    from allrank_tpu.parallel.mesh import make_mesh
+
+    mdef, params = _full_model(seed=17)
+    scales = calibrate_activations(params, mdef, _calib_batches(seed=23))
+    mesh = make_mesh(ParallelConfig(data=8))
+    sharded = make_sharded_scorer(params, mdef, mesh,
+                                  quantize="int8_static", act_scales=scales)
+    single = make_scorer(params, mdef, quantize="int8_static",
+                         act_scales=scales)
+    rng = np.random.RandomState(18)
+    x = jnp.asarray(rng.randn(16, 10, 8).astype(np.float32))
+    lengths = jnp.asarray(rng.randint(1, 11, size=16), dtype=jnp.int32)
+    np.testing.assert_allclose(np.asarray(sharded(x, lengths)),
+                               np.asarray(single(x, lengths)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_static_int8_export_roundtrip(tmp_path):
+    from allrank_tpu.serving import export_scorer, load_scorer
+
+    mdef, params = _full_model(seed=19)
+    scales = calibrate_activations(params, mdef, _calib_batches(seed=24))
+    scorer = make_scorer(params, mdef, quantize="int8_static",
+                         act_scales=scales)
+    path = export_scorer(params, mdef, slate_length=10, n_features=8,
+                         path=str(tmp_path / "scorer_int8s.hlo"),
+                         batch_size=3, quantize="int8_static",
+                         act_scales=scales)
+    loaded = load_scorer(path)
+    rng = np.random.RandomState(25)
+    x = jnp.asarray(rng.randn(3, 10, 8).astype(np.float32))
+    lengths = jnp.asarray([10, 2, 7], dtype=jnp.int32)
+    np.testing.assert_allclose(np.asarray(loaded(x, lengths)),
+                               np.asarray(scorer(x, lengths)), rtol=1e-6)
+
+
+def test_static_int8_requires_calibration():
+    mdef, params = _full_model(seed=26)
+    with pytest.raises(ValueError, match="act_scales"):
+        make_scorer(params, mdef, quantize="int8_static")
+    # stale/mismatched calibration (missing sites) fails loud
+    with pytest.raises(KeyError, match="site"):
+        make_scorer(params, mdef, quantize="int8_static",
+                    act_scales={"fc/0": 1.0})
 
 
 def test_unknown_quantize_mode_raises():

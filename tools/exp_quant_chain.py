@@ -43,19 +43,20 @@ def main() -> None:
         TransformerConfig,
     )
     from allrank_tpu.models.factory import init_params, make_model, score
-    from allrank_tpu.quant import quantize_model, quantized_score
+    from allrank_tpu.quant import (calibrate_activations, quantize_model,
+                                   quantized_score)
     from tools.bench_util import time_steps
 
     B, L, F, K = args.batch, args.slate, args.features, args.k
     print(f"device: {jax.devices()[0].device_kind}, B={B}, L={L}, F={F}, "
           f"chain K={K}")
-    print(f"\n{'d_model':>8} {'mode':>9} {'ms/call':>9} {'slates/s':>10} "
+    print(f"\n{'d_model':>8} {'mode':>11} {'ms/call':>9} {'slates/s':>10} "
           f"{'vs f32':>7}")
 
     rng = np.random.RandomState(0)
     x_host = rng.randn(B, L, F).astype(np.float32)
-    lengths = jax.device_put(
-        rng.randint(L // 2, L + 1, size=B).astype(np.int32))
+    lengths_host = rng.randint(L // 2, L + 1, size=B).astype(np.int32)
+    lengths = jax.device_put(lengths_host)
     x_dev = jax.device_put(x_host)
 
     for d in [int(s) for s in args.sizes.split(",")]:
@@ -73,6 +74,8 @@ def main() -> None:
         )
         params = init_params(jax.random.PRNGKey(0), mdef)
         qparams = quantize_model(params, mdef)
+        scales = calibrate_activations(params, mdef, [(x_host, lengths_host)])
+        qparams_s = quantize_model(params, mdef, act_scales=scales)
         mask = jnp.arange(L, dtype=jnp.int32)[None, :] >= lengths[:, None]
         indices = jnp.ones((B, L), dtype=jnp.int32)
 
@@ -100,6 +103,8 @@ def main() -> None:
                 compute_dtype=jnp.bfloat16)),
             "int8": chain(lambda xk: quantized_score(
                 qparams, mdef, xk, mask, indices)),
+            "int8_static": chain(lambda xk: quantized_score(
+                qparams_s, mdef, xk, mask, indices)),
         }
 
         best = {}
@@ -111,10 +116,10 @@ def main() -> None:
 
                 sec, _ = time_steps(step, None, n1=3, n2=10)
                 best[mode] = min(best.get(mode, float("inf")), sec / K)
-        for mode in ("float32", "bfloat16", "int8"):
+        for mode in ("float32", "bfloat16", "int8", "int8_static"):
             sec = best[mode]
             rel = best["float32"] / sec
-            print(f"{d:>8} {mode:>9} {sec * 1e3:>9.3f} {B / sec:>10,.0f} "
+            print(f"{d:>8} {mode:>11} {sec * 1e3:>9.3f} {B / sec:>10,.0f} "
                   f"{rel:>6.2f}x")
 
 
