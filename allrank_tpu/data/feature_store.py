@@ -154,7 +154,9 @@ def make_table_gather(mesh, sharding: str):
         return jax.shard_map(
             _local, mesh=mesh,
             in_specs=(P("data"), P("data")), out_specs=P("data"),
-            check_vma=False,
+            # vma-checked since round 5; a replication regression in the
+            # gather fails loud at trace time
+            check_vma=True,
         )(table, idx)
 
     return gather

@@ -169,6 +169,8 @@ def _mega_sublayer_runner(slate_length: int, batch: int, tdef):
             in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(), P(), P(), P(), P(),
                       P(), P()),
             out_specs=P(DATA_AXIS),
+            # pallas body: no vma info; replication structure pinned by
+            # tests/ops/test_vma_canary.py::test_attention_sublayer_...
             check_vma=False,
         )(x, key_mask, seeds, lp["ln1"]["scale"], lp["ln1"]["bias"],
           lp["qkv"]["w"], lp["qkv"]["b"], lp["out"]["w"], lp["out"]["b"])
@@ -263,6 +265,8 @@ def _mega_encoder_runner(slate_length: int, batch: int, tdef):
             body, mesh=phys,
             in_specs=(P(DATA_AXIS), P(DATA_AXIS), P()) + (P(),) * len(ws),
             out_specs=P(DATA_AXIS),
+            # pallas body: no vma info; replication structure pinned by
+            # tests/ops/test_vma_canary.py::test_attention_sublayer_...
             check_vma=False,
         )(x, key_mask, seeds, *ws)
 
@@ -271,14 +275,20 @@ def _mega_encoder_runner(slate_length: int, batch: int, tdef):
 
 def _kernel_beats_xla(slate_length: int, shard_batch: int, heads: int,
                       dtype) -> bool:
-    """The measured dispatch policy above, per data shard."""
-    if not (FUSED_ATTENTION_BF16_MIN_LEN <= slate_length
+    """The measured dispatch policy above, per data shard. The boundary
+    constants read through the per-device-kind autotune table
+    (ops/autotune.py) — the module constants above are the shipped
+    (v5e-measured) defaults."""
+    from allrank_tpu.ops import autotune
+
+    if not (autotune.get("fused_attention_bf16_min_len") <= slate_length
             <= TILED_ATTENTION_MAX_LEN):
         return False
-    if slate_length >= FUSED_ATTENTION_MIN_LEN:
+    if slate_length >= autotune.get("fused_attention_min_len"):
         return True
     return (dtype == jnp.bfloat16
-            and shard_batch * heads >= FUSED_ATTENTION_MIN_GROUPS)
+            and shard_batch * heads
+            >= autotune.get("fused_attention_min_groups"))
 
 
 def _mega_ffn_runner(slate_length: int, batch: int, tdef):
@@ -328,6 +338,8 @@ def _mega_ffn_runner(slate_length: int, batch: int, tdef):
             body, mesh=phys,
             in_specs=(P(DATA_AXIS), P(), P(), P(), P(), P(), P(), P()),
             out_specs=P(DATA_AXIS),
+            # pallas body: no vma info; replication structure pinned by
+            # tests/ops/test_vma_canary.py::test_attention_sublayer_...
             check_vma=False,
         )(x, seeds, lp["ln2"]["scale"], lp["ln2"]["bias"], lp["ff1"]["w"],
           lp["ff1"]["b"], lp["ff2"]["w"], lp["ff2"]["b"])
@@ -384,6 +396,8 @@ def _fused_attention_runner(slate_length: int, batch: int, p_drop: float,
             in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
                       P()),
             out_specs=P(DATA_AXIS),
+            # pallas body: no vma info; replication structure pinned by
+            # tests/ops/test_vma_canary.py::test_attention_sublayer_...
             check_vma=False,
         )(q, k, v, key_mask, seed)
 
@@ -402,14 +416,12 @@ def _attention(lp: dict, tdef: TransformerDef, x, key_mask, train, rng):
 
     p_drop = float(tdef.dropout) if (train and tdef.dropout > 0.0) else 0.0
 
-    from allrank_tpu.ops.attention_ring import (
-        RING_ATTENTION_MIN_LEN,
-        ring_slate_attention,
-    )
+    from allrank_tpu.ops import autotune
+    from allrank_tpu.ops.attention_ring import ring_slate_attention
     from allrank_tpu.ops.soft_sort import sequence_parallel_mesh
 
     sp = sequence_parallel_mesh(l)
-    if sp is not None and l >= RING_ATTENTION_MIN_LEN:
+    if sp is not None and l >= autotune.get("ring_attention_min_len"):
         # slate-axis-sharded ring attention: each sequence shard holds
         # [B, h, L/P, ·] and K/V blocks rotate over ICI (ppermute)
         mesh, axis = sp

@@ -58,9 +58,17 @@ def _ring_body(q, k, v, key_mask, rng, *, p_drop, seq_axis, batch_axis=None):
     d_k = q.shape[-1]
     qf = q.astype(F32) / math.sqrt(d_k)
 
-    m0 = jnp.full(q.shape[:3], -jnp.inf, dtype=F32)      # [B, h, Lq]
-    l0 = jnp.zeros(q.shape[:3], dtype=F32)
-    acc0 = jnp.zeros(q.shape, dtype=F32)                  # [B, h, Lq, dh]
+    # the online-softmax carry becomes axis-varying through the ring; mark
+    # the constant seeds varying so scan carry types are stable and the vma
+    # checker can verify the body (shard_map check_vma=True below)
+    vary_axes = ((seq_axis,) if batch_axis is None
+                 else (batch_axis, seq_axis))
+    m0 = jax.lax.pcast(jnp.full(q.shape[:3], -jnp.inf, dtype=F32),
+                       vary_axes, to="varying")            # [B, h, Lq]
+    l0 = jax.lax.pcast(jnp.zeros(q.shape[:3], dtype=F32),
+                       vary_axes, to="varying")
+    acc0 = jax.lax.pcast(jnp.zeros(q.shape, dtype=F32),
+                         vary_axes, to="varying")          # [B, h, Lq, dh]
     perm = [(j, (j + 1) % n_dev) for j in range(n_dev)]
 
     def step(carry, t):
@@ -138,5 +146,7 @@ def ring_slate_attention(
         mesh=mesh,
         in_specs=(qkv_spec, qkv_spec, qkv_spec, P(batch_axis, seq_axis), P()),
         out_specs=qkv_spec,
-        check_vma=False,
+        # vma-checked since round 5 (carry seeds pcast to varying in
+        # _ring_body); a replication regression fails loud at trace time
+        check_vma=True,
     )(q, k, v, key_mask, rng)

@@ -320,8 +320,13 @@ def tiled_lambda_preferred(slate_length: int, batch: int) -> bool:
     well) and the kernel wins past it (1.1x at L=768, 1.4x at L=1024,
     1.1-1.2x at L=2048-4096). On top of time, the kernel sidesteps the ~6
     live [B, L, L] fp32 intermediates XLA holds through the grad chain —
-    multi-GB at WEB30K-eval shapes — so the threshold leans low."""
-    if batch * slate_length * slate_length < 32 * 1024 * 1024:
+    multi-GB at WEB30K-eval shapes — so the threshold leans low. The
+    crossover reads through the per-device-kind autotune table
+    (ops/autotune.py, ``lambda_pair_crossover_elems``)."""
+    from allrank_tpu.ops import autotune
+
+    if (batch * slate_length * slate_length
+            < autotune.get("lambda_pair_crossover_elems")):
         return False
     return tiled_lambda_available(slate_length, batch)
 

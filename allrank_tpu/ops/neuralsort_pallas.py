@@ -262,8 +262,14 @@ MAX_FUSED_LENGTH = 512
 
 
 def soft_sort_available(slate_length: int, n_flat: int) -> bool:
-    """True when the fused kernel (direct or via mesh shard_map) can run."""
-    if jax.default_backend() != "tpu" or slate_length > MAX_FUSED_LENGTH:
+    """True when the fused kernel (direct or via mesh shard_map) can run.
+    The length cap reads through the per-device-kind autotune table
+    (ops/autotune.py, ``neuralsort_max_fused_len``; shipped default =
+    MAX_FUSED_LENGTH above)."""
+    from allrank_tpu.ops import autotune
+
+    if (jax.default_backend() != "tpu"
+            or slate_length > autotune.get("neuralsort_max_fused_len")):
         return False
     from allrank_tpu.ops.soft_sort import per_shard_batch
 

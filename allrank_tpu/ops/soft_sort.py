@@ -77,13 +77,17 @@ def per_shard_batch(batch: int):
     return batch if jax.device_count() == 1 else None
 
 
-def dispatch_batch_sharded(fn, args, n_out: int = 1):
+def dispatch_batch_sharded(fn, args, n_out: int = 1, check_vma: bool = False):
     """Run ``fn(*args)`` directly on a bare single chip, or per-shard via
     ``shard_map`` over every mesh axis that divides the leading batch dim of
     ``args[0]`` (the pod code path — pallas_call has no SPMD partition rule).
     ``fn`` must map batch-major arrays to ``n_out`` batch-major arrays, with
     all non-batch structure closed over. The execution half of the shared
-    mesh-gate; callers guarantee legality via ``per_shard_batch`` first."""
+    mesh-gate; callers guarantee legality via ``per_shard_batch`` first.
+
+    ``check_vma`` stays False for pallas bodies (their outputs carry no vma
+    info); the replication structure of these specs is pinned by a
+    vma-checked XLA twin in tests/ops/test_vma_canary.py."""
     from allrank_tpu.parallel.mesh import ambient_mesh
 
     phys = ambient_mesh()
@@ -98,7 +102,7 @@ def dispatch_batch_sharded(fn, args, n_out: int = 1):
         mesh=phys,
         in_specs=(spec,) * len(args),
         out_specs=spec if n_out == 1 else (spec,) * n_out,
-        check_vma=False,  # pallas outputs carry no vma info
+        check_vma=check_vma,
     )(*args)
 
 
@@ -151,12 +155,15 @@ def sinkhorn_scaling(
         mat = jnp.where(either, 0.0, mat)
         mat = jnp.where(both, 1.0, mat)
 
+    from allrank_tpu.ops import autotune
+
     if backend == "pallas" or (
         backend is None
         and jax.default_backend() == "tpu"
         # cap: the backward kernel holds 4 [1, L, L] blocks at minimum —
-        # beyond L~768 even a single-slate block exceeds the VMEM budget
-        and mat.shape[-1] <= 768
+        # beyond L~768 (v5e default; per-device autotune table) even a
+        # single-slate block exceeds the VMEM budget
+        and mat.shape[-1] <= autotune.get("sinkhorn_max_fused_len")
     ):
         # fused VMEM-resident kernel (fixed-trip; see ops/sinkhorn_pallas.py).
         # pallas_call has no SPMD partition rule, so on a device mesh the
@@ -182,7 +189,10 @@ def sinkhorn_scaling(
                 mesh=phys,
                 in_specs=P(axes),
                 out_specs=P(axes),
-                check_vma=False,  # pallas outputs carry no vma info
+                # pallas outputs carry no vma info; this dispatch's
+                # replication structure is pinned by a vma-checked XLA twin
+                # (tests/ops/test_vma_canary.py::test_sinkhorn_fused_...)
+                check_vma=False,
             )
         elif jax.device_count() == 1:
             fused = lambda m: sinkhorn_core_fused(m, max_iter)  # noqa: E731
@@ -429,12 +439,15 @@ def soft_sort_contract_sp(
             new_row_resid = jnp.where(done, row_resid, global_max)
             return (a2, b2, done, new_row_resid), None
 
+        # the carry entries become axis-varying through the iteration (a and
+        # row_resid structurally; done and b transitively via the freeze
+        # flag), so mark every seed varying up front — the scan carry types
+        # are then stable and the vma checker can verify the whole body
+        seeds = (a, b, jnp.asarray(False), jnp.asarray(jnp.inf,
+                                                       dtype=m0.dtype))
+        seeds = tuple(jax.lax.pcast(s, axis, to="varying") for s in seeds)
         (a, b, _, _), _ = jax.lax.scan(
-            one_iteration,
-            (a, b, jnp.asarray(False),
-             jnp.asarray(jnp.inf, dtype=m0.dtype)),
-            None,
-            length=max_iter,
+            one_iteration, seeds, None, length=max_iter,
         )
         p_scaled = a[:, :, None] * m0 * b[:, None, :]
         p_scaled = jnp.where(pair_pad, 0.0, p_scaled)
@@ -451,10 +464,9 @@ def soft_sort_contract_sp(
         body, mesh=mesh,
         in_specs=(P(), P(), P()),
         out_specs=out_spec,
-        # the scan carry mixes replicated (b, done) and axis-varying (a)
-        # values, which the vma checker rejects; semantics are validated by
-        # the value/grad parity tests
-        check_vma=False,
+        # vma-checked since round 5 (carry seeds pcast to varying above);
+        # a regression here fails loud at trace time
+        check_vma=True,
     )(scores, mask, vec)
 
 

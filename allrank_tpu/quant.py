@@ -76,16 +76,22 @@ def q_dense_apply(qp: dict, x: jnp.ndarray) -> jnp.ndarray:
     the activation quantize is a constant scalar multiply + round/clip (no
     per-row reduction) and dequant+bias is one fused ``[d_out]`` epilogue.
     Dynamic mode otherwise: per-row absmax scale, rank-1 dequant."""
-    x = x.astype(F32)
     if "x_inv_scale" in qp:  # static (calibrated) activation scale
-        x_q = jnp.clip(jnp.round(x * qp["x_inv_scale"]),
+        # dtype-preserving: a bf16 activation flow reads half the HBM bytes
+        # through the quantize pass (computed in fp32 registers — XLA fuses
+        # the upcast+scale+round+clip into one pass) and the epilogue casts
+        # back, so LN/residuals between quantized matmuls stay bf16
+        in_dtype = x.dtype
+        x_q = jnp.clip(jnp.round(x.astype(F32) * qp["x_inv_scale"]),
                        -_QMAX, _QMAX).astype(I8)
         acc = jax.lax.dot_general(
             x_q, qp["w_q"],
             dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=I32,
         )
-        return acc.astype(F32) * qp["out_scale"] + qp["b"]
+        out = acc.astype(F32) * qp["out_scale"] + qp["b"]
+        return out.astype(in_dtype)
+    x = x.astype(F32)
     xs = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True), _TINY) / _QMAX
     x_q = jnp.clip(jnp.round(x / xs), -_QMAX, _QMAX).astype(I8)
     acc = jax.lax.dot_general(
@@ -241,7 +247,7 @@ def _q_attention(lp: dict, tdef, x, key_mask, dense_fn=_default_dense,
             v.astype(bf).transpose(0, 2, 1, 3),
             key_mask, jnp.zeros((), dtype=jnp.int32), 0.0,
         )
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, d).astype(F32)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, l, d).astype(x.dtype)
         return dense_fn(site + "/out", lp["out"], ctx)
 
     scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(d_k)
@@ -253,14 +259,17 @@ def _q_attention(lp: dict, tdef, x, key_mask, dense_fn=_default_dense,
 
 def quantized_forward(qparams: dict, mdef: LTRModelDef, x: jnp.ndarray,
                       mask: jnp.ndarray, indices: jnp.ndarray,
-                      dense_fn=_default_dense) -> jnp.ndarray:
+                      dense_fn=_default_dense,
+                      compute_dtype=F32) -> jnp.ndarray:
     """Eval-mode full model through the quantized tower: [B, L, d_output]
     squeezed to [B, L] when d_output == 1 — mirrors models/factory.py
     ``forward`` (train=False) with every dense matmul routed through
     ``dense_fn(site, layer_params, x)`` (default: ``q_dense_apply``; the
     calibration pass substitutes a float matmul that records each site's
-    activation absmax)."""
-    x = x.astype(F32)
+    activation absmax). ``compute_dtype`` sets the elementwise flow
+    BETWEEN quantized matmuls (LN/residuals/activations) — bfloat16 halves
+    their HBM traffic; the output head and scores stay fp32."""
+    x = x.astype(compute_dtype)
     if mdef.fc:
         fcp = qparams["fc"]
         if mdef.fc.input_norm:
@@ -283,17 +292,19 @@ def quantized_forward(qparams: dict, mdef: LTRModelDef, x: jnp.ndarray,
                 f"t{i}/ff2", lp["ff2"],
                 jax.nn.relu(dense_fn(f"t{i}/ff1", lp["ff1"], normed)))
         x = std_layer_norm_apply(tp["final_ln"], x)
-    out = dense_fn("output", qparams["output"], x)
+    out = dense_fn("output", qparams["output"], x.astype(F32))
     if mdef.output.d_output == 1:
         out = jnp.squeeze(out, axis=2)
     return get_activation(mdef.output.output_activation)(out)
 
 
 def quantized_score(qparams: dict, mdef: LTRModelDef, x: jnp.ndarray,
-                    mask: jnp.ndarray, indices: jnp.ndarray) -> jnp.ndarray:
+                    mask: jnp.ndarray, indices: jnp.ndarray,
+                    compute_dtype=F32) -> jnp.ndarray:
     """Eval-mode per-document scores [B, L] through the quantized tower;
     multi-output heads sum over d_output exactly like factory ``score``."""
-    out = quantized_forward(qparams, mdef, x, mask, indices)
+    out = quantized_forward(qparams, mdef, x, mask, indices,
+                            compute_dtype=compute_dtype)
     if mdef.output.d_output > 1:
         out = jnp.sum(out, axis=-1)
     return out

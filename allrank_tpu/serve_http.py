@@ -72,11 +72,13 @@ class SlateScoringService:
         self.max_wait_s = float(max_wait_ms) / 1e3
         # "int8"/"int8_static" as a compute_dtype serves the w8a8 quantized
         # tower (quant.py) — the CLI flag works end-to-end without a second
-        # knob; int8_static needs act_scales (calibrate_activations)
+        # knob; int8_static needs act_scales (calibrate_activations). The
+        # elementwise flow between int8 matmuls runs bf16 (the production
+        # serving default, halves LN/residual HBM traffic)
         quantize = (compute_dtype
                     if compute_dtype in ("int8", "int8_static") else None)
         if quantize:
-            compute_dtype = "float32"
+            compute_dtype = "bfloat16"
         self._compiled_by_bucket = {}
         if mesh is not None:
             # pod serving: every wave scored over the mesh (batch sharded on

@@ -60,15 +60,18 @@ def make_scorer(params, mdef: LTRModelDef, compute_dtype="float32",
     positions score -inf (sort-last under any downstream ordering).
 
     ``quantize="int8"`` runs every tower matmul as dynamic w8a8 int8 on the
-    MXU (see quant.py) — weights are quantized once here; ``compute_dtype``
-    is ignored on that path (LN/softmax stay fp32 by design).
+    MXU (see quant.py) — weights are quantized once here.
     ``quantize="int8_static"`` additionally needs ``act_scales`` (a
     calibration from ``quant.calibrate_activations``) and serves the
-    static-activation-scale tower: no per-row quant/dequant chain."""
+    static-activation-scale tower: no per-row quant/dequant chain. On both
+    quant paths ``compute_dtype`` sets the ELEMENTWISE flow between int8
+    matmuls (LN/residuals; bfloat16 halves their HBM traffic — the
+    production serving default); scores stay fp32."""
     if quantize is not None:
         _check_quantize(quantize, act_scales)
         from allrank_tpu.quant import quantize_model, quantized_score
 
+        q_dtype = jnp.dtype(compute_dtype)
         qparams = quantize_model(
             params, mdef,
             act_scales=act_scales if quantize == "int8_static" else None)
@@ -77,7 +80,8 @@ def make_scorer(params, mdef: LTRModelDef, compute_dtype="float32",
         def q_scorer(x, lengths):
             mask = _mask_from_lengths(lengths, x.shape[1])
             indices = jnp.ones(x.shape[:2], dtype=jnp.int32)
-            scores = quantized_score(qparams, mdef, x, mask, indices)
+            scores = quantized_score(qparams, mdef, x, mask, indices,
+                                     compute_dtype=q_dtype)
             return jnp.where(mask, -jnp.inf, scores.astype(jnp.float32))
 
         return q_scorer
@@ -149,7 +153,8 @@ def make_sharded_scorer(params, mdef: LTRModelDef, mesh,
         mask = _mask_from_lengths(lengths, x.shape[1])
         indices = jnp.ones(x.shape[:2], dtype=jnp.int32)
         if quantize is not None:
-            s = quantized_score(p, mdef, x, mask, indices)
+            s = quantized_score(p, mdef, x, mask, indices,
+                                compute_dtype=dtype)
         else:
             s = score(p, mdef, x, mask, indices, train=False,
                       compute_dtype=dtype)

@@ -107,6 +107,9 @@ def test_transformer_dispatches_ring_on_sequence_mesh(monkeypatch):
     no-mesh XLA path."""
     import allrank_tpu.ops.attention_ring as R
 
+    from allrank_tpu.ops import autotune
+
+    monkeypatch.setitem(autotune.DEFAULTS, "ring_attention_min_len", 0)
     monkeypatch.setattr(R, "RING_ATTENTION_MIN_LEN", 0)
     tdef = T.TransformerDef(N=2, d_model=16, d_ff=32, h=2, dropout=0.0)
     params = T.transformer_init(jax.random.PRNGKey(0), tdef)

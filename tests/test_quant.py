@@ -234,6 +234,25 @@ def test_static_int8_dequant_is_fused_column_scale():
     np.testing.assert_allclose(got[0], sat, rtol=5e-2, atol=5e-2)
 
 
+def test_static_int8_bf16_flow_quality():
+    # the production serving configuration: static int8 matmuls with bf16
+    # elementwise flow between them — must stay within the quality gates
+    mdef, params = _full_model(seed=27)
+    scales = calibrate_activations(params, mdef, _calib_batches(seed=28))
+    s32 = make_scorer(params, mdef)
+    s8 = make_scorer(params, mdef, compute_dtype="bfloat16",
+                     quantize="int8_static", act_scales=scales)
+    rng = np.random.RandomState(29)
+    x = jnp.asarray(rng.randn(6, 10, 8).astype(np.float32))
+    lengths = jnp.asarray([10, 7, 3, 10, 1, 5], dtype=jnp.int32)
+    ref = np.asarray(s32(x, lengths))
+    got = np.asarray(s8(x, lengths))
+    assert got.dtype == np.float32  # scores stay fp32
+    np.testing.assert_array_equal(np.isneginf(got), np.isneginf(ref))
+    m = np.isfinite(ref)
+    assert np.corrcoef(ref[m], got[m])[0, 1] > 0.999
+
+
 def test_static_int8_sharded_scorer_matches_single_device():
     if len(jax.devices()) < 8:
         pytest.skip("needs the 8-device CPU mesh")

@@ -205,7 +205,10 @@ def test_int8_service_matches_direct_int8_scorer():
         futures = [service.submit(s) for s in slates]
         got = [f.result(timeout=30) for f in futures]
 
-        scorer = make_scorer(params, mdef, quantize="int8")
+        # the service runs the quant tower with bf16 elementwise flow (its
+        # production default) — compare against the same configuration
+        scorer = make_scorer(params, mdef, compute_dtype="bfloat16",
+                             quantize="int8")
         for s, g in zip(slates, got):
             xb = np.zeros((1, L, F), dtype=np.float32)
             xb[0, : len(s)] = s

@@ -105,6 +105,9 @@ def main() -> None:
                 qparams, mdef, xk, mask, indices)),
             "int8_static": chain(lambda xk: quantized_score(
                 qparams_s, mdef, xk, mask, indices)),
+            "int8_st_bf16": chain(lambda xk: quantized_score(
+                qparams_s, mdef, xk, mask, indices,
+                compute_dtype=jnp.bfloat16)),
         }
 
         best = {}
@@ -116,7 +119,8 @@ def main() -> None:
 
                 sec, _ = time_steps(step, None, n1=3, n2=10)
                 best[mode] = min(best.get(mode, float("inf")), sec / K)
-        for mode in ("float32", "bfloat16", "int8", "int8_static"):
+        for mode in ("float32", "bfloat16", "int8", "int8_static",
+                     "int8_st_bf16"):
             sec = best[mode]
             rel = best["float32"] / sec
             print(f"{d:>8} {mode:>11} {sec * 1e3:>9.3f} {B / sec:>10,.0f} "
