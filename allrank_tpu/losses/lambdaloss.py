@@ -152,14 +152,19 @@ def lambdaLoss(
         tiled_lambda_preferred,
     )
 
+    from allrank_tpu.ops.lambda_sp import sp_lambda_dispatch
+
     # fused VMEM pairwise chain: square kernel (whole [k, k] slab resident,
     # ops/lambda_pallas.py) up to k_eff=384; the pair-tiled kernel
     # (ops/lambda_tiled.py) beyond that once XLA's [B, k, k] intermediates
-    # would pressure HBM — same math, none of the pair tensors reach HBM
-    kernel = None
-    if lambda_pairs_available(k_eff, y_pred.shape[0]):
+    # would pressure HBM — same math, none of the pair tensors reach HBM.
+    # On a sequence mesh at long k_eff, the pair ROWS shard over the
+    # sequence axis instead (ops/lambda_sp.py) — each shard owns O(k^2/P)
+    # of the pair block, the slate-axis answer the reference lacks
+    kernel = sp_lambda_dispatch(k_eff, y_pred.shape[0])
+    if kernel is None and lambda_pairs_available(k_eff, y_pred.shape[0]):
         kernel = lambda_pairs
-    elif tiled_lambda_preferred(k_eff, y_pred.shape[0]):
+    elif kernel is None and tiled_lambda_preferred(k_eff, y_pred.shape[0]):
         kernel = tiled_lambda
     if kernel is not None:
         valid_rows = pred_valid

@@ -37,6 +37,7 @@ from typing import Optional
 #   ring_attention_min_len       ops/attention_ring.py RING_ATTENTION_MIN_LEN
 #   sinkhorn_max_fused_len       ops/soft_sort.py sinkhorn pallas cap
 #   neuralsort_max_fused_len     ops/neuralsort_pallas.py MAX_FUSED_LENGTH
+#   sp_lambda_min_len            ops/lambda_sp.py sp_lambda_dispatch
 DEFAULTS = {
     "fused_attention_min_len": 512,
     "fused_attention_bf16_min_len": 120,
@@ -45,6 +46,7 @@ DEFAULTS = {
     "ring_attention_min_len": 1024,
     "sinkhorn_max_fused_len": 768,
     "neuralsort_max_fused_len": 512,
+    "sp_lambda_min_len": 2048,
 }
 
 _loaded: Optional[dict] = None  # this-process cache of the tuned table
