@@ -532,6 +532,22 @@ def check_int8_scorer() -> None:
           same_pad and corr > 0.998 and top_match > 0.9,
           f"corr={corr:.5f} top1={top_match:.2f}")
 
+    # the production static mode: calibrated activation scales + bf16
+    # elementwise flow (round 5) — same gates
+    from allrank_tpu.quant import calibrate_activations
+
+    scales = calibrate_activations(params, mdef, [(x, lengths)])
+    got_s = onp.asarray(make_scorer(
+        params, mdef, compute_dtype="bfloat16", quantize="int8_static",
+        act_scales=scales)(x, lengths))
+    same_pad_s = bool(onp.array_equal(onp.isneginf(got_s), onp.isneginf(ref)))
+    corr_s = float(onp.corrcoef(ref[fin], got_s[fin])[0, 1])
+    top_s = float(onp.mean(onp.argmax(got_s, axis=1)
+                           == onp.argmax(ref, axis=1)))
+    check("int8_static (bf16 flow) scorer tracks fp32 on hardware",
+          same_pad_s and corr_s > 0.998 and top_s > 0.9,
+          f"corr={corr_s:.5f} top1={top_s:.2f}")
+
 
 
 def main() -> int:
