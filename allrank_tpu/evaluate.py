@@ -145,10 +145,16 @@ def run(args: Namespace = None) -> dict:
                 with open(os.path.join(paths.output_dir,
                                        "act_scales.json"), "w") as f:
                     json.dump(act_scales, f, indent=1)
+        import jax.numpy as jnp
+
         params = quantize_model(params, mdef, act_scales=act_scales)
-        forward_fn = lambda p, x, m, i: quantized_forward(p, mdef, x, m, i)  # noqa: E731
-        logger.info("evaluating through the %s w8a8 quantized tower",
-                    quantize)
+        # elementwise flow follows the config's compute dtype so the gate
+        # measures the same tower configuration that serves
+        q_dtype = jnp.dtype(config.training.compute_dtype or "float32")
+        forward_fn = lambda p, x, m, i: quantized_forward(  # noqa: E731
+            p, mdef, x, m, i, compute_dtype=q_dtype)
+        logger.info("evaluating through the %s w8a8 quantized tower "
+                    "(%s elementwise flow)", quantize, q_dtype.name)
     elif quantize is not None:
         raise ValueError(f"unknown quantize mode '{quantize}'")
 
