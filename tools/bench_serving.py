@@ -58,9 +58,20 @@ def main() -> None:
     print("\nB      dtype     ms/call   slates/s")
     for B in [int(b) for b in args.batches.split(",")]:
         x, lengths = batch(B)
-        for dtype in ("float32", "bfloat16", "int8"):
+        scales = None
+        for dtype in ("float32", "bfloat16", "int8", "int8_static"):
             if dtype == "int8":
                 scorer = make_scorer(params, mdef, quantize="int8")
+            elif dtype == "int8_static":
+                if scales is None:
+                    from allrank_tpu.quant import calibrate_activations
+
+                    scales = calibrate_activations(
+                        params, mdef,
+                        [(np.asarray(x), np.asarray(lengths))])
+                scorer = make_scorer(params, mdef, "bfloat16",
+                                     quantize="int8_static",
+                                     act_scales=scales)
             else:
                 scorer = make_scorer(params, mdef, dtype)
 
