@@ -40,6 +40,10 @@ def test_sharded_fused_attention_matches_einsum():
 
 
 def test_runner_selects_sharded_path_on_mesh(monkeypatch):
+    from allrank_tpu.ops import autotune
+
+    monkeypatch.setitem(autotune.DEFAULTS, "fused_attention_min_len", 0)
+    monkeypatch.setitem(autotune.DEFAULTS, "fused_attention_bf16_min_len", 0)
     monkeypatch.setattr(T, "FUSED_ATTENTION_MIN_LEN", 0)
     monkeypatch.setattr(T, "FUSED_ATTENTION_BF16_MIN_LEN", 0)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
