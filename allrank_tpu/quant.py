@@ -42,6 +42,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from allrank_tpu.constants import NEG_INF_FILL
 from allrank_tpu.models.core import get_activation, layer_norm_apply, std_layer_norm_apply
@@ -114,17 +115,37 @@ def quantize_model(params: dict, mdef: LTRModelDef,
     epilogue column scale) — q_dense_apply then takes the static path."""
 
     def qd(site: str, p: dict) -> dict:
-        qp = quantize_dense(p)
-        if act_scales is not None:
-            if site not in act_scales:
-                raise KeyError(
-                    f"calibration has no activation scale for site '{site}' "
-                    f"(have: {sorted(act_scales)}) — calibrate with the same "
-                    "model definition")
-            s_x = max(float(act_scales[site]), _TINY) / _QMAX
+        if act_scales is None:
+            return quantize_dense(p)
+        if site not in act_scales:
+            raise KeyError(
+                f"calibration has no activation scale for site '{site}' "
+                f"(have: {sorted(act_scales)}) — calibrate with the same "
+                "model definition")
+        cal = np.asarray(act_scales[site], dtype=np.float32)
+        w = jnp.asarray(p["w"], dtype=F32)
+        if cal.ndim == 0:  # legacy per-tensor calibration
+            s_x = max(float(cal), _TINY) / _QMAX
+            qp = quantize_dense(p)
             qp["x_inv_scale"] = jnp.asarray(1.0 / s_x, dtype=F32)
             qp["out_scale"] = (s_x * qp["w_scale"]).astype(F32)
-        return qp
+            return qp
+        # per-channel calibration with scale MIGRATION (SmoothQuant-style):
+        # divide each input channel by its calibrated absmax and fold that
+        # factor into the weights BEFORE weight quantization — channels
+        # with outlier magnitudes (post-LN feature spikes at corpus scale)
+        # no longer starve every other channel's int8 resolution. The
+        # serve-time quantize stays ONE fused multiply (a [d_in] vector
+        # instead of a scalar); the epilogue is unchanged.
+        s_chan = jnp.maximum(jnp.asarray(cal, dtype=F32), _TINY)  # [d_in]
+        w_mig = w * s_chan[:, None]
+        s_w = jnp.maximum(jnp.max(jnp.abs(w_mig), axis=0), _TINY) / _QMAX
+        w_q = jnp.clip(jnp.round(w_mig / s_w), -_QMAX, _QMAX).astype(I8)
+        # x/s_chan has per-channel max 1 by construction -> s_x = 1/QMAX
+        return {"w_q": w_q, "w_scale": s_w,
+                "b": jnp.asarray(p["b"], dtype=F32),
+                "x_inv_scale": (_QMAX / s_chan).astype(F32),
+                "out_scale": (s_w / _QMAX).astype(F32)}
 
     q: dict = {}
     if mdef.fc:
@@ -154,19 +175,25 @@ def quantize_model(params: dict, mdef: LTRModelDef,
 def calibrate_activations(params, mdef: LTRModelDef, batches) -> dict:
     """Calibration pass for static activation scales: run representative
     ``(x [B, L, F], lengths [B])`` batches through the **fp32** tower and
-    record, per quantized-matmul site, the running absmax of that matmul's
-    input activation. Returns ``{site: absmax}`` (python floats — JSON
-    serializable, so a service can persist its calibration next to the
-    checkpoint). Feed the result to ``quantize_model(..., act_scales=...)``.
+    record, per quantized-matmul site, the running PER-INPUT-CHANNEL
+    absmax of that matmul's input activation. Returns
+    ``{site: [absmax_per_channel]}`` (python lists — JSON serializable, so
+    a service can persist its calibration next to the checkpoint). Feed
+    the result to ``quantize_model(..., act_scales=...)``, which migrates
+    each channel's scale into the weights (SmoothQuant-style) — at corpus
+    scale post-LN activations have per-channel outlier magnitudes that a
+    single per-tensor scale cannot survive (measured: a 127x fc-input
+    spike cost 4.5 ndcg points; per-channel migration restores the fp32
+    gates — tests/test_quant.py, BENCHMARKS round-5).
 
     Uses serve-time semantics: padding mask from ``lengths``, rank index 1
     (serving.py), eval mode. Calibrate on batches drawn from the traffic
-    you will serve — the train split works (quality gates pinned by
-    tests/test_quant.py)."""
+    you will serve — the train split works."""
 
     def capture_dense(site: str, p: dict, xin: jnp.ndarray) -> jnp.ndarray:
-        cap[site] = jnp.maximum(cap.get(site, jnp.zeros((), F32)),
-                                jnp.max(jnp.abs(xin)).astype(F32))
+        chan = jnp.max(jnp.abs(xin.astype(F32)),
+                       axis=tuple(range(xin.ndim - 1)))  # [d_in]
+        cap[site] = (jnp.maximum(cap[site], chan) if site in cap else chan)
         return xin.astype(F32) @ p["w"] + p["b"]
 
     @jax.jit
@@ -184,8 +211,11 @@ def calibrate_activations(params, mdef: LTRModelDef, batches) -> dict:
         got = jax.device_get(one_batch(jnp.asarray(x, dtype=F32),
                                        jnp.asarray(lengths, dtype=jnp.int32)))
         for site, v in got.items():
-            out[site] = max(out.get(site, 0.0), float(v))
-    return out
+            prev = out.get(site)
+            vec = np.asarray(v, dtype=np.float64)
+            out[site] = (vec if prev is None
+                         else np.maximum(prev, vec))
+    return {site: [float(x) for x in v] for site, v in out.items()}
 
 
 def calibration_batches_from_dataset(ds, slate_length: int,

@@ -140,4 +140,6 @@ def test_evaluate_int8_quantized_tracks_fp32(tmp_path):
         assert st["vali"][k] == pytest.approx(fp32["vali"][k], rel=0.02), k
     scales = json.load(open(os.path.join(job, "results", "e8s",
                                          "act_scales.json")))
-    assert scales and all(v > 0 for v in scales.values())
+    assert scales
+    for vec in scales.values():  # per-input-channel absmax vectors
+        assert all(v > 0 for v in vec)

@@ -182,11 +182,42 @@ def test_calibration_covers_every_quantized_site():
     expected = {"fc/0", "fc/1", "output"} | {
         f"t{i}/{m}" for i in range(2) for m in ("qkv", "out", "ff1", "ff2")}
     assert set(scales) == expected
-    assert all(v > 0.0 for v in scales.values())
+    # per-input-channel vectors, strictly positive, JSON-serializable
+    import json
+
+    json.dumps(scales)
+    for site, vec in scales.items():
+        assert isinstance(vec, list) and all(v > 0.0 for v in vec), site
     # running absmax: calibrating on a superset can only grow scales
     more = calibrate_activations(
         params, mdef, _calib_batches() + _calib_batches(seed=21))
-    assert all(more[k] >= scales[k] for k in scales)
+    for k in scales:
+        assert all(a >= b for a, b in zip(more[k], scales[k])), k
+
+
+def test_per_channel_migration_survives_outlier_channels():
+    """The corpus-scale failure mode reproduced small: ONE input channel
+    carrying 100x the magnitude of the rest must not starve the other
+    channels' int8 resolution (per-tensor calibration did exactly that —
+    measured 4.5 ndcg points at WEB30K scale)."""
+    mdef, params = _full_model(seed=30)
+    rng = np.random.RandomState(31)
+    batches = []
+    for _ in range(3):
+        x = rng.randn(6, 10, 8).astype(np.float32)
+        x[:, :, 3] *= 100.0  # outlier feature channel
+        batches.append((x, rng.randint(1, 11, size=6).astype(np.int32)))
+    scales = calibrate_activations(params, mdef, batches)
+    s32 = make_scorer(params, mdef)
+    s8 = make_scorer(params, mdef, quantize="int8_static", act_scales=scales)
+    x, lengths = batches[0]
+    ref = np.asarray(s32(x, lengths))
+    got = np.asarray(s8(x, lengths))
+    m = np.isfinite(ref)
+    assert np.corrcoef(ref[m], got[m])[0, 1] > 0.999
+    refm = np.where(m, ref, -np.inf)
+    gotm = np.where(m, got, -np.inf)
+    assert (refm.argmax(1) == gotm.argmax(1)).mean() >= 5 / 6
 
 
 def test_static_int8_scorer_quality_and_masking():
