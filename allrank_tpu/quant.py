@@ -55,6 +55,19 @@ I32 = jnp.int32
 _QMAX = 127.0
 _TINY = 1e-30  # absmax floor: all-zero rows quantize to zeros, not NaN
 
+# Adaptive granularity for static activation scales: a calibrated site
+# whose per-channel absmax spread (max/median) is at most this collapses
+# to ONE per-tensor scale — the quietest channel then loses at most
+# log2(4)=2 bits, measured quality-neutral, while sites with genuine
+# outlier channels (fc input at corpus scale: 29x) keep the per-channel
+# migration. Perf reason to prefer scalar where it's free: the attention
+# out-projection's input is a Pallas-kernel output through a
+# transpose+reshape, and a channel-wise broadcast there defeats XLA's
+# copy-fusion (+3 ms/call measured at d=1024, BENCHMARKS round-5); with
+# realistic spreads (/out <= 2.7) those sites collapse and the cost
+# vanishes.
+PER_CHANNEL_SPREAD_THRESHOLD = 4.0
+
 
 def quantize_dense(dense_params: dict) -> dict:
     """Symmetric per-output-channel int8 quantization of one dense layer.
@@ -124,7 +137,11 @@ def quantize_model(params: dict, mdef: LTRModelDef,
                 "model definition")
         cal = np.asarray(act_scales[site], dtype=np.float32)
         w = jnp.asarray(p["w"], dtype=F32)
-        if cal.ndim == 0:  # legacy per-tensor calibration
+        if cal.ndim == 1:
+            spread = float(cal.max() / max(float(np.median(cal)), _TINY))
+            if spread <= PER_CHANNEL_SPREAD_THRESHOLD:
+                cal = cal.max()  # uniform channels: per-tensor is free
+        if cal.ndim == 0:  # per-tensor (legacy calibration or collapsed)
             s_x = max(float(cal), _TINY) / _QMAX
             qp = quantize_dense(p)
             qp["x_inv_scale"] = jnp.asarray(1.0 / s_x, dtype=F32)
