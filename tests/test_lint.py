@@ -11,13 +11,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
 from lint import lint_file  # noqa: E402
-from scope_lint import ModuleIndex  # noqa: E402
+from scope_lint import ModuleIndex, SignatureIndex  # noqa: E402
 
 
-def _lint(tmp_path, source, index=None):
+def _lint(tmp_path, source, index=None, sig_index=None, module_name=None):
     p = tmp_path / "case.py"
     p.write_text(textwrap.dedent(source))
-    return [msg for _, msg in lint_file(str(p), index)]
+    return [msg for _, msg in lint_file(str(p), index, sig_index,
+                                        module_name)]
 
 
 def _codes(msgs):
@@ -82,6 +83,88 @@ class TestCatchesInjectedProblems:
         """, index)
         assert any(m.startswith("F822") and "definitely_not_a_metric" in m
                    for m in msgs)
+
+    def test_call_signature_checks(self, tmp_path):
+        """C901/C902/C903: the arity/keyword subset of mypy, against the
+        real repo signatures and same-module defs."""
+        sig = SignatureIndex([os.path.join(REPO, "allrank_tpu")])
+        msgs = _lint(tmp_path, """
+            from allrank_tpu.quant import quantize_dense
+            from allrank_tpu.serving import make_scorer
+            import allrank_tpu.quant as q
+
+
+            def local_fn(a, b, *, c=1):
+                return a + b + c
+
+
+            def caller():
+                make_scorer(1, 2, 3, 4, 5, 6)
+                make_scorer(1, 2, compute_dtyp="bf16")
+                quantize_dense()
+                q.quantize_model(1, 2, act_scalez={})
+                local_fn(1, d=2)
+                local_fn(1, 2, c=3)  # fine
+        """, sig_index=sig, module_name="case")
+        joined = "\n".join(msgs)
+        assert "C902 make_scorer() takes 5" in joined
+        assert "C901 unexpected keyword 'compute_dtyp'" in joined
+        assert "C903 quantize_dense() missing required" in joined
+        assert "C901 unexpected keyword 'act_scalez'" in joined
+        # same-module defs are indexed when module_name matches the file
+        # (the index qualifies modules relative to the root's parent)
+        sig2 = SignatureIndex([str(tmp_path)])
+        mod2 = f"{os.path.basename(str(tmp_path))}.case"
+        msgs2 = _lint(tmp_path, """
+            def local_fn(a, b, *, c=1):
+                return a + b + c
+
+
+            def caller():
+                local_fn(1, d=2)
+        """, sig_index=sig2, module_name=mod2)
+        codes2 = _codes(msgs2)
+        assert "C901" in codes2 and "C903" in codes2
+
+    def test_call_signature_skips_unknowable_defs(self, tmp_path):
+        """Decorated, conditional, rebound, *args functions and unpacked
+        call sites must never be flagged (zero-false-positive contract)."""
+        sig = SignatureIndex([str(tmp_path)])
+        msgs = _lint(tmp_path, """
+            import functools
+
+            try:
+                def guarded(a):
+                    return a
+            except Exception:
+                pass
+
+
+            @functools.lru_cache()
+            def decorated(a):
+                return a
+
+
+            def variadic(*args, **kwargs):
+                return args, kwargs
+
+
+            def rebound(a):
+                return a
+
+
+            rebound = variadic
+
+
+            def caller():
+                guarded(1, 2, 3)
+                decorated(1, 2, nope=1)
+                variadic(1, 2, 3, anything=4)
+                rebound(1, 2, 3)
+                kw = {}
+                variadic(**kw)
+        """, sig_index=sig, module_name="case")
+        assert not any(m.startswith("C9") for m in msgs)
 
 
 class TestCleanOnRealIdioms:

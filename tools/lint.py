@@ -27,7 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from scope_lint import (  # noqa: E402
     ModuleIndex,
     ScopeChecker,
+    SignatureIndex,
     check_annotations,
+    check_call_signatures,
     check_cross_module,
 )
 
@@ -81,7 +83,8 @@ class _ImportUsage(ast.NodeVisitor):
         self.generic_visit(node)
 
 
-def lint_file(path: str, index=None):
+def lint_file(path: str, index=None, sig_index=None,
+              module_name=None):
     problems = []
     with open(path, encoding="utf-8") as f:
         src = f.read()
@@ -148,6 +151,8 @@ def lint_file(path: str, index=None):
     scoped += check_annotations(tree)
     if index is not None:
         scoped += check_cross_module(tree, index)
+    if sig_index is not None:
+        scoped += check_call_signatures(tree, module_name or "", sig_index)
     problems.extend((ln, msg) for ln, msg in scoped if ln not in noqa)
     return problems
 
@@ -157,9 +162,15 @@ def main() -> int:
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     pkg_root = os.path.join(repo_root, "allrank_tpu")
     index = ModuleIndex([pkg_root]) if os.path.isdir(pkg_root) else None
+    sig_index = (SignatureIndex([pkg_root])
+                 if os.path.isdir(pkg_root) else None)
     n = 0
     for path in _iter_py(paths):
-        for lineno, msg in sorted(lint_file(path, index)):
+        rel = os.path.relpath(os.path.abspath(path), repo_root)
+        module_name = rel[:-3].replace(os.sep, ".") if rel.endswith(".py") \
+            else None
+        for lineno, msg in sorted(lint_file(path, index, sig_index,
+                                            module_name)):
             print(f"{path}:{lineno}: {msg}")
             n += 1
     if n:

@@ -610,3 +610,154 @@ def _nested_nodes(func) -> Set[int]:
                 if s2 is not sub:
                     inner.add(id(s2))
     return inner
+
+
+# -----------------------------------------------------------------------------
+# C90x call-signature checks (the arity/keyword subset of what mypy would
+# catch; the image has no mypy and installs are disallowed)
+# -----------------------------------------------------------------------------
+
+class _FuncSig:
+    __slots__ = ("args", "n_defaults", "kwonly", "kwonly_required",
+                 "has_vararg", "has_kwarg")
+
+    def __init__(self, node: ast.FunctionDef):
+        a = node.args
+        self.args = [p.arg for p in a.posonlyargs + a.args]
+        self.n_defaults = len(a.defaults)
+        self.kwonly = {p.arg for p in a.kwonlyargs}
+        self.kwonly_required = {
+            p.arg for p, d in zip(a.kwonlyargs, a.kw_defaults) if d is None
+        }
+        self.has_vararg = a.vararg is not None
+        self.has_kwarg = a.kwarg is not None
+
+
+class SignatureIndex:
+    """Signatures of TOP-LEVEL, UNDECORATED, unconditionally-defined plain
+    functions per repo module — the only defs whose call contract is
+    knowable statically with zero false-positive risk (decorators change
+    signatures; conditional defs differ per branch; rebound names lie)."""
+
+    def __init__(self, roots: List[str]):
+        self.sigs: Dict[str, "_FuncSig"] = {}  # "mod.func" -> sig
+        for root in roots:
+            parent = os.path.dirname(os.path.abspath(root))
+            for dirpath, _dirs, files in os.walk(root):
+                for f in files:
+                    if not f.endswith(".py"):
+                        continue
+                    path = os.path.join(dirpath, f)
+                    rel = os.path.relpath(path, parent)
+                    mod = rel[:-3].replace(os.sep, ".")
+                    if mod.endswith(".__init__"):
+                        mod = mod[: -len(".__init__")]
+                    self._index(path, mod)
+
+    def _index(self, path: str, mod: str) -> None:
+        try:
+            with open(path, encoding="utf-8") as f:
+                tree = ast.parse(f.read(), filename=path)
+        except (SyntaxError, OSError):
+            return
+        bound: Dict[str, int] = {}
+        for node in tree.body:
+            if isinstance(node, ast.FunctionDef) and not node.decorator_list:
+                bound[node.name] = bound.get(node.name, 0) + 1
+            elif isinstance(node, (ast.Assign, ast.AnnAssign, ast.ClassDef,
+                                   ast.AsyncFunctionDef)):
+                for el in ast.walk(node):
+                    if isinstance(el, ast.Name):
+                        bound[el.id] = bound.get(el.id, 0) + 9  # disqualify
+                if isinstance(node, (ast.ClassDef, ast.AsyncFunctionDef)):
+                    bound[node.name] = bound.get(node.name, 0) + 9
+        for node in tree.body:
+            if (isinstance(node, ast.FunctionDef)
+                    and not node.decorator_list
+                    and bound.get(node.name) == 1):
+                self.sigs[f"{mod}.{node.name}"] = _FuncSig(node)
+
+
+def check_call_signatures(tree: ast.Module, module: str,
+                          index: SignatureIndex) -> List[Problem]:
+    """C901 unknown keyword / C902 too many positional / C903 missing
+    required argument, for calls that resolve to an indexed repo function
+    (direct name via a module-level ``from repo_mod import f`` or this
+    module's own top-level def, or ``mod.f`` via ``import repo_mod``).
+    Calls with *unpacking are skipped."""
+    local: Dict[str, str] = {}    # call name -> "mod.func"
+    mod_alias: Dict[str, str] = {}  # local alias -> repo module path
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom) and node.level == 0 \
+                and node.module:
+            for a in node.names:
+                q = f"{node.module}.{a.name}"
+                if q in index.sigs:
+                    local[a.asname or a.name] = q
+                # `from pkg import mod` as a module alias
+                full = f"{node.module}.{a.name}"
+                if any(k.startswith(full + ".") for k in index.sigs):
+                    mod_alias[a.asname or a.name] = full
+        elif isinstance(node, ast.Import):
+            for a in node.names:
+                if any(k.startswith(a.name + ".") for k in index.sigs):
+                    mod_alias[a.asname or a.name] = a.name
+    shadowed = set()
+    for node in tree.body:
+        if isinstance(node, ast.FunctionDef):
+            q = f"{module}.{node.name}"
+            if q in index.sigs:
+                local[node.name] = q
+            else:
+                shadowed.add(node.name)
+        elif isinstance(node, (ast.Assign, ast.AnnAssign, ast.ClassDef)):
+            for el in ast.walk(node):
+                if isinstance(el, ast.Name):
+                    shadowed.add(el.id)
+
+    problems: List[Problem] = []
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.Call):
+            continue
+        target = None
+        if isinstance(node.func, ast.Name):
+            if node.func.id in shadowed:
+                continue
+            target = local.get(node.func.id)
+        elif isinstance(node.func, ast.Attribute) and isinstance(
+                node.func.value, ast.Name):
+            base = mod_alias.get(node.func.value.id)
+            if base is not None:
+                target = f"{base}.{node.func.attr}"
+                if target not in index.sigs:
+                    target = None
+        if target is None:
+            continue
+        if any(isinstance(a, ast.Starred) for a in node.args) or any(
+                kw.arg is None for kw in node.keywords):
+            continue  # *args/**kwargs unpacking at the call site
+        sig = index.sigs[target]
+        fname = target.rsplit(".", 1)[1]
+        kwnames = [kw.arg for kw in node.keywords]
+        for kw in kwnames:
+            if (kw not in sig.args and kw not in sig.kwonly
+                    and not sig.has_kwarg):
+                problems.append(
+                    (node.lineno,
+                     f"C901 unexpected keyword '{kw}' in call to "
+                     f"{fname}()"))
+        if len(node.args) > len(sig.args) and not sig.has_vararg:
+            problems.append(
+                (node.lineno,
+                 f"C902 {fname}() takes {len(sig.args)} positional "
+                 f"argument(s) but {len(node.args)} given"))
+        required = set(sig.args[: len(sig.args) - sig.n_defaults])
+        required |= sig.kwonly_required
+        supplied = set(sig.args[: len(node.args)]) | set(kwnames)
+        missing = required - supplied
+        if missing and not sig.has_vararg:
+            problems.append(
+                (node.lineno,
+                 f"C903 {fname}() missing required argument(s): "
+                 f"{', '.join(sorted(missing))}"))
+    return problems
