@@ -330,3 +330,95 @@ def test_malformed_binary_body_gets_400_and_zero_max_queue_rejected():
     finally:
         server.shutdown()
         service.close()
+
+
+def test_int8_static_cli_end_to_end(tmp_path):
+    """The serve CLI's int8_static path end-to-end as a deployer runs it:
+    train-split startup calibration, then serving through a persisted
+    act_scales.json (--act-scales) — subprocess, HTTP round trip."""
+    import os
+    import socket
+    import subprocess
+    import sys
+    import time
+    import urllib.request
+
+    from allrank_tpu.data.dummy import write_dummy_dataset
+    from allrank_tpu.training.checkpoint import save_params
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    write_dummy_dataset(str(tmp_path / "data"), num_queries=20,
+                        results_len=L, num_features=F)
+    cfg = {
+        "model": {"fc_model": {"sizes": [8], "input_norm": False,
+                               "activation": "ReLU", "dropout": None},
+                  "transformer": None,
+                  "post_model": {"d_output": 1, "output_activation": None}},
+        "data": {"path": str(tmp_path / "data"), "num_workers": 0,
+                 "batch_size": 4, "slate_length": L,
+                 "validation_ds_role": "vali"},
+        "optimizer": {"name": "Adam", "args": {"lr": 1e-2}},
+        "lr_scheduler": {"name": "StepLR", "args": {"step_size": 5,
+                                                    "gamma": 0.5}},
+        "training": {"epochs": 1, "gradient_clipping_norm": None,
+                     "early_stopping_patience": 0},
+        "loss": {"name": "listNet", "args": {}},
+        "metrics": ["ndcg_5"], "val_metric": "ndcg_5",
+        "expected_metrics": {},
+    }
+    (tmp_path / "config.json").write_text(json.dumps(cfg))
+    mdef, params = _model()
+    save_params(params, str(tmp_path / "model.npz"))
+    # persisted calibration (what `evaluate --quantize int8_static` writes)
+    from allrank_tpu.quant import (calibrate_activations,
+                                   calibration_batches_from_dataset)
+    from allrank_tpu.data.dataset import load_dataset_role
+
+    ds, _ = load_dataset_role("train", str(tmp_path / "data"), L)
+    scales = calibrate_activations(
+        params, mdef, calibration_batches_from_dataset(ds, L, 4, 2))
+    (tmp_path / "act_scales.json").write_text(json.dumps(scales))
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.Popen(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu');"
+         "from allrank_tpu.serve_http import main; main()",
+         "--config-file-name", str(tmp_path / "config.json"),
+         "--input-model-path", str(tmp_path / "model.npz"),
+         "--n-features", str(F), "--port", str(port),
+         "--batch-size", "4", "--compute-dtype", "int8_static",
+         "--act-scales", str(tmp_path / "act_scales.json")],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, cwd=repo)
+    try:
+        deadline = time.time() + 60
+        up = False
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                raise AssertionError(
+                    "server died:\n" + proc.stdout.read().decode())
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/healthz", timeout=2) as r:
+                    up = r.status == 200
+                    break
+            except OSError:
+                time.sleep(0.5)
+        assert up, "server never came up"
+        slate = np.random.RandomState(3).randn(5, F).tolist()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/score",
+            data=json.dumps({"slate": slate}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=30) as r:
+            scores = json.loads(r.read())["scores"]
+        assert len(scores) == 5 and all(np.isfinite(scores))
+    finally:
+        proc.kill()
+        proc.wait()
