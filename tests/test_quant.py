@@ -353,3 +353,29 @@ def test_int8_export_roundtrip(tmp_path):
     lengths = jnp.asarray([10, 2, 7], dtype=jnp.int32)
     np.testing.assert_allclose(np.asarray(loaded(x, lengths)),
                                np.asarray(scorer(x, lengths)), rtol=1e-6)
+
+
+def test_calibration_batches_from_dataset_contract():
+    from allrank_tpu.data.dataset import SlateDataset
+    from allrank_tpu.quant import calibration_batches_from_dataset
+
+    rng = np.random.RandomState(40)
+    docs, n_slates, F = 6, 10, 5
+    X = rng.randn(n_slates * docs, F).astype(np.float32)
+    y = rng.randint(0, 3, size=n_slates * docs).astype(np.float32)
+    qids = np.repeat(np.arange(n_slates), docs)
+    ds = SlateDataset(X, y, qids)
+
+    batches = calibration_batches_from_dataset(ds, slate_length=8,
+                                               batch_size=4, n_batches=2)
+    assert len(batches) == 2
+    for x, lengths in batches:
+        assert x.shape == (4, 8, F)
+        assert lengths.shape == (4,) and (lengths >= 1).all()
+        assert (lengths <= 8).all()
+    # deterministic (no shuffle): same call -> identical batches
+    again = calibration_batches_from_dataset(ds, slate_length=8,
+                                             batch_size=4, n_batches=2)
+    for (x1, l1), (x2, l2) in zip(batches, again):
+        np.testing.assert_array_equal(x1, x2)
+        np.testing.assert_array_equal(l1, l2)
