@@ -126,6 +126,37 @@ class TestCatchesInjectedProblems:
         codes2 = _codes(msgs2)
         assert "C901" in codes2 and "C903" in codes2
 
+    def test_module_attr_check(self, tmp_path):
+        """C904: typo'd attributes on repo-module aliases, usage-site F822."""
+        index = ModuleIndex([os.path.join(REPO, "allrank_tpu")])
+        msgs = _lint(tmp_path, """
+            import allrank_tpu.quant as q
+            from allrank_tpu import metrics
+
+
+            def use():
+                q.quantize_modell(1)
+                metrics.ndcgg(1, 2)
+                q.quantize_model(1, 2)  # fine
+                print(metrics.ndcg)     # fine
+        """, index)
+        joined = "\n".join(msgs)
+        assert "C904 module 'allrank_tpu.quant' has no attribute " \
+               "'quantize_modell'" in joined
+        assert "C904 module 'allrank_tpu.metrics' has no attribute " \
+               "'ndcgg'" in joined
+
+    def test_module_attr_check_skips_rebound_aliases(self, tmp_path):
+        index = ModuleIndex([os.path.join(REPO, "allrank_tpu")])
+        msgs = _lint(tmp_path, """
+            from allrank_tpu import metrics
+
+
+            def use(metrics):             # parameter shadows the alias
+                return metrics.anything_goes
+        """, index)
+        assert not any(m.startswith("C904") for m in msgs)
+
     def test_call_signature_skips_unknowable_defs(self, tmp_path):
         """Decorated, conditional, rebound, *args functions and unpacked
         call sites must never be flagged (zero-false-positive contract)."""

@@ -31,6 +31,7 @@ from scope_lint import (  # noqa: E402
     check_annotations,
     check_call_signatures,
     check_cross_module,
+    check_module_attrs,
 )
 
 MAX_LINE = 120
@@ -151,6 +152,7 @@ def lint_file(path: str, index=None, sig_index=None,
     scoped += check_annotations(tree)
     if index is not None:
         scoped += check_cross_module(tree, index)
+        scoped += check_module_attrs(tree, index)
     if sig_index is not None:
         scoped += check_call_signatures(tree, module_name or "", sig_index)
     problems.extend((ln, msg) for ln, msg in scoped if ln not in noqa)

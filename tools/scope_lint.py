@@ -761,3 +761,80 @@ def check_call_signatures(tree: ast.Module, module: str,
                  f"C903 {fname}() missing required argument(s): "
                  f"{', '.join(sorted(missing))}"))
     return problems
+
+
+def check_module_attrs(tree: ast.Module, index: ModuleIndex) -> List[Problem]:
+    """C904: ``alias.attr`` where ``alias`` is a repo module imported at
+    module level and ``attr`` is not a top-level binding of that module —
+    the usage-site sibling of F822 (catches typo'd module attributes that
+    only fail at runtime). Star-importing modules and submodule access are
+    exempt; so is any alias rebound in this file."""
+    alias_to_mod: Dict[str, str] = {}
+    for node in tree.body:
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name in index.names:
+                    alias_to_mod[a.asname or a.name.split(".")[0]] = (
+                        a.name if a.asname else a.name.split(".")[0])
+                    if a.asname:
+                        alias_to_mod[a.asname] = a.name
+        elif isinstance(node, ast.ImportFrom) and node.level == 0 \
+                and node.module:
+            for a in node.names:
+                full = f"{node.module}.{a.name}"
+                if full in index.names:
+                    alias_to_mod[a.asname or a.name] = full
+    if not alias_to_mod:
+        return []
+    # drop aliases that are rebound anywhere in the file (params, locals,
+    # assignments) — attribute checks on those would be guesses
+    rebound: Set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                             ast.Lambda)):
+            a = node.args
+            for p in a.posonlyargs + a.args + a.kwonlyargs:
+                rebound.add(p.arg)
+            if a.vararg:
+                rebound.add(a.vararg.arg)
+            if a.kwarg:
+                rebound.add(a.kwarg.arg)
+        elif isinstance(node, (ast.Assign, ast.AnnAssign, ast.AugAssign,
+                               ast.For, ast.withitem, ast.comprehension)):
+            targets = []
+            if isinstance(node, ast.Assign):
+                targets = node.targets
+            elif isinstance(node, (ast.AnnAssign, ast.AugAssign)):
+                targets = [node.target]
+            elif isinstance(node, ast.For):
+                targets = [node.target]
+            elif isinstance(node, ast.withitem):
+                targets = [node.optional_vars] if node.optional_vars else []
+            else:
+                targets = [node.target]
+            for t in targets:
+                for el in ast.walk(t):
+                    if isinstance(el, ast.Name):
+                        rebound.add(el.id)
+    problems: List[Problem] = []
+    for node in ast.walk(tree):
+        if not (isinstance(node, ast.Attribute)
+                and isinstance(node.value, ast.Name)):
+            continue
+        alias = node.value.id
+        mod = alias_to_mod.get(alias)
+        if mod is None or alias in rebound or mod not in index.names:
+            continue
+        if mod in index.star:
+            continue
+        attr = node.attr
+        if attr.startswith("__"):
+            continue
+        if attr in index.names[mod]:
+            continue
+        if f"{mod}.{attr}" in index.names or f"{mod}.{attr}" in index.packages:
+            continue  # submodule access
+        problems.append(
+            (node.lineno,
+             f"C904 module '{mod}' has no attribute '{attr}'"))
+    return problems
