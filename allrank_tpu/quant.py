@@ -137,6 +137,11 @@ def quantize_model(params: dict, mdef: LTRModelDef,
                 "model definition")
         cal = np.asarray(act_scales[site], dtype=np.float32)
         w = jnp.asarray(p["w"], dtype=F32)
+        if cal.ndim == 1 and cal.shape[0] != w.shape[0]:
+            raise ValueError(
+                f"calibration for site '{site}' has {cal.shape[0]} channels "
+                f"but the weight expects {w.shape[0]} — act_scales.json from "
+                "a different model definition?")
         if cal.ndim == 1:
             spread = float(cal.max() / max(float(np.median(cal)), _TINY))
             if spread <= PER_CHANNEL_SPREAD_THRESHOLD:
