@@ -12,6 +12,7 @@ falls back to sklearn's pure-python svmlight reader.
 from __future__ import annotations
 
 import os
+import uuid
 from typing import List, Tuple
 
 import numpy as np
@@ -135,6 +136,28 @@ def parse_svmlight_cached(path) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     return x, y, qids
 
 
+_STALE_TMP_AGE_S = 24 * 3600
+
+
+def _reap_stale_tmps(x_p: str) -> None:
+    """Remove day-old ``<x_p>.tmp.<hex>`` leftovers from crashed parses
+    (unique tmp names don't self-overwrite like the old fixed ``.tmp``
+    did, so a SIGKILL mid-parse would otherwise leak a multi-GB file).
+    The age floor keeps live writers safe; even if a >24h parse's tmp is
+    unlinked, its mapping stays valid (the inode outlives the name) and
+    its ``os.replace`` then just falls back to the in-RAM path."""
+    import glob
+    import time
+
+    for p in glob.glob(glob.escape(x_p) + ".tmp.*"):
+        try:
+            if time.time() - os.stat(p).st_mtime > _STALE_TMP_AGE_S:
+                os.unlink(p)
+                logger.info("removed stale parse tmp %s", p)
+        except OSError:
+            pass
+
+
 def _parse_direct_to_memmap(path, x_p: str):
     """Native parse of ``path`` with X filled directly into the ``.npy``
     sidecar at ``x_p`` via a writable memmap; returns (X read-only mmap, y,
@@ -143,7 +166,15 @@ def _parse_direct_to_memmap(path, x_p: str):
     writer, so concurrent writers and crash-partial files stay safe."""
     from allrank_tpu.data.native import parse_svmlight_native
 
-    tmp = x_p + ".tmp"
+    # Unlike the in-RAM writer (short identical-content np.save calls to a
+    # shared .tmp, where interleaved same-byte writes are harmless), this
+    # path holds a LIVE writable mapping over the tmp inode for the whole
+    # multi-minute parse — a concurrent writer's open_memmap(mode="w+")
+    # truncating that shared inode would SIGBUS the first writer's next
+    # page write. Give each process its own tmp inode; os.replace publishes
+    # atomically and last-writer-wins with identical content.
+    tmp = "%s.tmp.%s" % (x_p, uuid.uuid4().hex)
+    _reap_stale_tmps(x_p)
     state: dict = {}
 
     def alloc(n_rows: int, n_features: int) -> np.ndarray:

@@ -121,6 +121,15 @@ MEGA_SUBLAYER_MAX_LEN = 768
 MEGA_SUBLAYER_MAX_WIDTH = 256
 
 
+def _min_groups() -> int:
+    """Effective b*h dispatch floor — reads the per-device-kind autotune
+    table so a tuned ``fused_attention_min_groups`` moves the megakernel
+    gates together with the bare-kernel policy (``_kernel_beats_xla``)."""
+    from allrank_tpu.ops import autotune
+
+    return autotune.get("fused_attention_min_groups")
+
+
 def _mega_sublayer_runner(slate_length: int, batch: int, tdef):
     """Dispatch for the fused attention sublayer; None -> XLA path."""
     if jax.default_backend() != "tpu":
@@ -139,7 +148,7 @@ def _mega_sublayer_runner(slate_length: int, batch: int, tdef):
     if phys is None or DATA_AXIS not in phys.shape or batch % phys.shape[DATA_AXIS]:
         if jax.device_count() != 1:
             return None
-        if batch * h < FUSED_ATTENTION_MIN_GROUPS:
+        if batch * h < _min_groups():
             return None
 
         def direct(lp, x, key_mask, seeds, p_attn, p_resid):
@@ -152,7 +161,7 @@ def _mega_sublayer_runner(slate_length: int, batch: int, tdef):
         return direct
 
     n_data = phys.shape[DATA_AXIS]
-    if (batch // n_data) * h < FUSED_ATTENTION_MIN_GROUPS:
+    if (batch // n_data) * h < _min_groups():
         return None
 
     def sharded(lp, x, key_mask, seeds, p_attn, p_resid):
@@ -233,7 +242,7 @@ def _mega_encoder_runner(slate_length: int, batch: int, tdef):
             or batch % phys.shape[DATA_AXIS]):
         if jax.device_count() != 1:
             return None
-        if batch * h < FUSED_ATTENTION_MIN_GROUPS:
+        if batch * h < _min_groups():
             return None
 
         def direct(params, x, key_mask, seeds, p_drop):
@@ -246,7 +255,7 @@ def _mega_encoder_runner(slate_length: int, batch: int, tdef):
         return direct
 
     n_data = phys.shape[DATA_AXIS]
-    if (batch // n_data) * h < FUSED_ATTENTION_MIN_GROUPS:
+    if (batch // n_data) * h < _min_groups():
         return None
 
     def sharded(params, x, key_mask, seeds, p_drop):
@@ -311,7 +320,7 @@ def _mega_ffn_runner(slate_length: int, batch: int, tdef):
     if phys is None or DATA_AXIS not in phys.shape or batch % phys.shape[DATA_AXIS]:
         if jax.device_count() != 1:
             return None
-        if batch * tdef.h < FUSED_ATTENTION_MIN_GROUPS:
+        if batch * tdef.h < _min_groups():
             return None
 
         def direct(lp, x, seeds, p_hidden, p_resid):
@@ -324,7 +333,7 @@ def _mega_ffn_runner(slate_length: int, batch: int, tdef):
         return direct
 
     n_data = phys.shape[DATA_AXIS]
-    if (batch // n_data) * tdef.h < FUSED_ATTENTION_MIN_GROUPS:
+    if (batch // n_data) * tdef.h < _min_groups():
         return None
 
     def sharded(lp, x, seeds, p_hidden, p_resid):

@@ -130,7 +130,9 @@ def _time_scan_chain(fn, x, k: int = 8, n: int = 5) -> float:
     @jax.jit
     def run(x):
         def body(carry, _):
-            out = fn(x + carry * jnp.float32(1e-30))
+            # cast the carry perturbation to x's dtype: a bf16 probe input
+            # must stay bf16 or the crossover is tuned from f32 timings
+            out = fn(x + (carry * jnp.float32(1e-30)).astype(x.dtype))
             return jnp.sum(out).astype(jnp.float32), ()
 
         final, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=k)

@@ -280,14 +280,16 @@ def run_server(service: SlateScoringService, port: int, host: str = ""):
                 self.close_connection = True
 
         def do_GET(self):
+            # _safe_reply: a probe client (load-balancer health check) that
+            # disconnects mid-reply must not traceback the handler thread
             if self.path == "/healthz":
-                self._reply(200, {"status": "ok",
-                                  "slate_length": service.slate_length,
-                                  "n_features": service.n_features})
+                self._safe_reply(200, {"status": "ok",
+                                       "slate_length": service.slate_length,
+                                       "n_features": service.n_features})
             elif self.path == "/statz":
-                self._reply(200, service.stats())
+                self._safe_reply(200, service.stats())
             else:
-                self._reply(404, {"error": "not found"})
+                self._safe_reply(404, {"error": "not found"})
 
         def do_POST(self):
             if self.path != "/score":

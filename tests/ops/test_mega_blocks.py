@@ -40,9 +40,12 @@ def _force_kernels(monkeypatch, encoder: bool):
     """Force megakernel dispatch on the CPU test backend; encoder=False
     pins the per-sublayer kernels (the whole-encoder kernel otherwise
     takes precedence)."""
+    from allrank_tpu.ops import autotune
+
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(T, "MEGA_SUBLAYER_MIN_LEN", 0)
-    monkeypatch.setattr(T, "FUSED_ATTENTION_MIN_GROUPS", 0)
+    # the gates read through the autotune table (transformer._min_groups)
+    monkeypatch.setitem(autotune.DEFAULTS, "fused_attention_min_groups", 0)
     monkeypatch.setattr(T, "MEGA_ENCODER_ENABLED", encoder)
 
 

@@ -31,6 +31,11 @@ def _make_kernel(M, K, N, TM, out_dtype_name):
     from jax.experimental.pallas import tpu as pltpu
 
     out_dtype = jnp.dtype(out_dtype_name)
+    if M % TM:
+        raise ValueError(
+            f"--m ({M}) must be a multiple of the {TM}-row tile: the grid "
+            f"runs M // TM blocks, so the last M % TM output rows would "
+            "never be written (nondeterministic 'kernel mismatch')")
 
     def kern(x_ref, w_ref, os_ref, b_ref, inv_ref, o_ref):
         x = x_ref[...].astype(jnp.float32)

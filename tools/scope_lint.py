@@ -702,18 +702,39 @@ def check_call_signatures(tree: ast.Module, module: str,
             for a in node.names:
                 if any(k.startswith(a.name + ".") for k in index.sigs):
                     mod_alias[a.asname or a.name] = a.name
-    shadowed = set()
     for node in tree.body:
         if isinstance(node, ast.FunctionDef):
             q = f"{module}.{node.name}"
             if q in index.sigs:
                 local[node.name] = q
-            else:
+    # Scope-insensitive shadow collection over the WHOLE tree, not just
+    # tree.body: a function-local rebinding (`f = jax.jit(f)`), a
+    # parameter, a loop/with/except target, or a nested def sharing an
+    # imported repo function's name would otherwise be checked against
+    # the repo signature — the zero-false-positive contract says skip.
+    shadowed = set()
+    top_defs = {n for n in tree.body if isinstance(n, ast.FunctionDef)}
+
+    def _arg_names(a: ast.arguments):
+        return (a.posonlyargs + a.args + a.kwonlyargs
+                + ([a.vararg] if a.vararg else [])
+                + ([a.kwarg] if a.kwarg else []))
+
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            if not (node in top_defs
+                    and f"{module}.{node.name}" in index.sigs):
                 shadowed.add(node.name)
-        elif isinstance(node, (ast.Assign, ast.AnnAssign, ast.ClassDef)):
-            for el in ast.walk(node):
-                if isinstance(el, ast.Name):
-                    shadowed.add(el.id)
+            shadowed.update(arg.arg for arg in _arg_names(node.args))
+        elif isinstance(node, ast.Lambda):
+            shadowed.update(arg.arg for arg in _arg_names(node.args))
+        elif isinstance(node, ast.ClassDef):
+            shadowed.add(node.name)
+        elif isinstance(node, ast.Name) and isinstance(
+                node.ctx, (ast.Store, ast.Del)):
+            shadowed.add(node.id)
+        elif isinstance(node, ast.ExceptHandler) and node.name:
+            shadowed.add(node.name)
 
     problems: List[Problem] = []
     for node in ast.walk(tree):
@@ -726,6 +747,8 @@ def check_call_signatures(tree: ast.Module, module: str,
             target = local.get(node.func.id)
         elif isinstance(node.func, ast.Attribute) and isinstance(
                 node.func.value, ast.Name):
+            if node.func.value.id in shadowed:  # module alias rebound
+                continue
             base = mod_alias.get(node.func.value.id)
             if base is not None:
                 target = f"{base}.{node.func.attr}"
